@@ -1,0 +1,204 @@
+"""Vectorized env runtime — the TPU-native ``VecTask`` (L2).
+
+Functional re-design of the reference's ``tasks/base/vec_task.py``:
+
+* ``Env`` ABC responsibilities (:67-205 — spaces, env/agent/obs/action counts,
+  ``numAgents`` multi-agent hook :102) live in :class:`VecTaskBase` static
+  attributes.
+* ``VecTask.step`` (:362-410) becomes a pure function
+  ``(EnvState, actions) -> (EnvState, StepResult)`` with the exact reference
+  ordering: clip actions -> pre_physics -> ``control_freq_inv x`` simulate ->
+  post-physics (progress += 1; masked ``reset_idx`` of envs flagged done on the
+  *previous* step, as in ``tasks/ant.py:287-293``; obs; reward) -> timeout_buf
+  (:396) -> clip obs.
+* Per-env heterogeneous resets (``reset_idx(env_ids)`` +
+  ``set_*_tensor_indexed``) become masked ``jnp.where`` updates — resampled
+  for every env, applied where ``reset_buf`` is set.
+* The ``reset_buf``-initialized-to-1 protocol (:302-325) is preserved: the
+  first step resets every env.
+* ``reset_done()`` (:442-457, the AMP/learner-driven variant) is provided for
+  the learning layer's contract (SURVEY.md Appendix B).
+
+Everything is jit-able; the whole rollout (physics + task kernels + learner)
+compiles into one XLA program.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.engine import Control, PhysicsEngine, SimOutput, SimParams, SimState
+
+
+class EnvState(NamedTuple):
+    sim: SimState
+    progress: jax.Array          # (N,) int32
+    reset_buf: jax.Array         # (N,) int32 — init 1 (vec_task.py:321)
+    rng: jax.Array               # single threaded PRNG key
+    task: Any = None             # task-specific pytree (potentials, targets, ...)
+
+
+class StepResult(NamedTuple):
+    obs: jax.Array               # (B, num_obs) clipped
+    states: Optional[jax.Array]  # (B, num_states) asymmetric-critic states
+    rew: jax.Array               # (B,)
+    reset: jax.Array             # (B,) int32
+    extras: Dict[str, Any]       # time_outs, episode stats, true_objective...
+
+
+def parse_sim_params(sim_cfg: dict) -> SimParams:
+    """Map the reference sim-config schema (vec_task.py:516-564) to SimParams."""
+    physx = sim_cfg.get("physx", {})
+    n_iter = int(physx.get("num_position_iterations", 4)) + int(
+        physx.get("num_velocity_iterations", 0))
+    return SimParams(
+        dt=float(sim_cfg.get("dt", 1.0 / 60.0)),
+        substeps=int(sim_cfg.get("substeps", 2)),
+        gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+        num_iterations=max(2 * n_iter, 8),
+    )
+
+
+class VecTaskBase:
+    """Holds static config + compiled model; all step logic is pure."""
+
+    dict_obs_cls = False
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        env_cfg = cfg["env"]
+        self.num_envs = int(env_cfg["numEnvs"])
+        self.num_obs = int(env_cfg["numObservations"])
+        self.num_actions = int(env_cfg["numActions"])
+        self.num_states = int(env_cfg.get("numStates", 0))
+        self.num_agents = int(env_cfg.get("numAgents", 1))
+        self.clip_obs = float(env_cfg.get("clipObservations", np.inf))
+        self.clip_actions = float(env_cfg.get("clipActions", np.inf))
+        self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 1))
+        self.max_episode_length = int(env_cfg.get("episodeLength", 500))
+        self.sim_params = parse_sim_params(cfg.get("sim", {}))
+        self.dt = self.sim_params.dt
+        self.terrain = None
+        model, ground = self.create_model()
+        self.model = model
+        self.engine = PhysicsEngine(model, self.sim_params, ground=ground)
+        self.rl_games_batch = self.num_envs * self.num_agents
+
+    # ------------------------------------------------------------------
+    # hooks for concrete tasks
+    def create_model(self):
+        """Return (SceneModel, ground: bool). Replaces create_sim/_create_envs."""
+        raise NotImplementedError
+
+    def initial_task_state(self) -> Any:
+        return None
+
+    def pre_physics(self, state: EnvState, actions: jax.Array) -> Control:
+        raise NotImplementedError
+
+    def post_physics(
+        self, state: EnvState, out: SimOutput, actions: jax.Array
+    ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array, Any, Dict]:
+        """Return (obs, states, rew, reset, task_state, extras)."""
+        raise NotImplementedError
+
+    def reset_idx(self, sim: SimState, task: Any, mask: jax.Array, key: jax.Array):
+        """Masked per-env reset: return (sim', task'). ``mask`` is (N,) bool."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def initial_state(self, key: jax.Array) -> EnvState:
+        sim = self.engine.default_state(self.num_envs)
+        return EnvState(
+            sim=sim,
+            progress=jnp.zeros(self.num_envs, jnp.int32),
+            reset_buf=jnp.ones(self.num_envs, jnp.int32),
+            rng=key,
+            task=self.initial_task_state(),
+        )
+
+    def reset(self, state: EnvState):
+        """Initial obs_dict (vec_task.py:428-440: no recompute, just clip)."""
+        obs = jnp.zeros((self.rl_games_batch, self.num_obs), jnp.float32)
+        return state, obs
+
+    def step(self, state: EnvState, actions: jax.Array) -> Tuple[EnvState, StepResult]:
+        key, k_reset, k_step = jax.random.split(state.rng, 3)
+        actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
+
+        ctrl = self.pre_physics(state, actions)
+        sim = state.sim
+        out = None
+        for _ in range(self.control_freq_inv):
+            sim, out = self.engine.step(sim, ctrl, terrain=self.terrain)
+
+        # ---- post physics (ant.py:287-297 ordering) ----
+        progress = state.progress + 1
+        reset_mask = state.reset_buf > 0
+        sim, task = self.reset_idx(sim, state.task, reset_mask, k_reset)
+        progress = jnp.where(reset_mask, 0, progress)
+        # refresh readouts so reset envs observe their fresh state
+        out = self.engine.forward(sim, prev_out=out)
+
+        mid = state._replace(sim=sim, progress=progress, task=task, rng=k_step)
+        obs, states, rew, reset, task, extras = self.post_physics(mid, out, actions)
+
+        # vec_task.py:396: timeout when the episode clock (not failure) fired
+        timeout = (progress >= self.max_episode_length - 1) & (reset != 0)
+        extras = dict(extras)
+        extras["time_outs"] = self._to_batch(timeout)
+
+        obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
+        if states is not None:
+            states = jnp.clip(states, -self.clip_obs, self.clip_obs)
+
+        new_state = EnvState(sim=sim, progress=progress, reset_buf=reset,
+                             rng=key, task=task)
+        return new_state, StepResult(obs=obs, states=states, rew=rew,
+                                     reset=self._to_batch(reset), extras=extras)
+
+    def _to_batch(self, per_env: jax.Array) -> jax.Array:
+        """Expand per-env values to per-actor rows for MA tasks.
+
+        The MA fork folds agents into the batch axis (buffers become
+        ``(num_envs * num_agents, ...)`` — franka_reach_MA.py:22-38).  Tasks
+        that already emit per-actor rows pass through unchanged.
+        """
+        if self.num_agents == 1 or per_env.shape[0] == self.rl_games_batch:
+            return per_env
+        return jnp.repeat(per_env, self.num_agents, axis=0)
+
+    def zero_actions(self) -> jax.Array:
+        return jnp.zeros((self.rl_games_batch, self.num_actions), jnp.float32)
+
+    # learner contract (SURVEY.md Appendix B / rlgames_utils.py:242-297)
+    def get_env_info(self) -> dict:
+        info = {
+            "action_space": (self.num_actions,),
+            "observation_space": (self.num_obs,),
+            "agents": self.num_agents,
+        }
+        if self.num_states > 0:
+            info["state_space"] = (self.num_states,)
+        return info
+
+    def get_env_state(self, state: EnvState):
+        """Curriculum/ADR state persisted into learner checkpoints
+        (vec_task.py:197-205, rlgames_utils.py:285-297)."""
+        return None
+
+    def set_env_state(self, state: EnvState, env_state):
+        return state
+
+    def set_train_info(self, state: EnvState, env_frames: int):
+        """Algo->env channel for curricula (vec_task.py:188-194)."""
+        return state
+
+
+def masked_update(mask: jax.Array, new: jax.Array, old: jax.Array) -> jax.Array:
+    """Apply ``new`` where mask (broadcast over trailing dims)."""
+    m = mask.reshape(mask.shape + (1,) * (old.ndim - mask.ndim))
+    return jnp.where(m, new, old)
