@@ -1,0 +1,2 @@
+from . import configs  # noqa: F401
+from .ppo import PPOAgent, PPOConfig, PPOState  # noqa: F401

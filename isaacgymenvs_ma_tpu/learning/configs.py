@@ -1,0 +1,189 @@
+"""Train-config registry (the reference's ``cfg/train/*PPO.yaml`` family).
+
+Same rl_games ``params.{algo,model,network,config}`` schema, expressed as
+Python dicts (values resolve at build time; user YAML / CLI overrides merge on
+top — see utils/config.py).  One helper builds a base config; per-task entries
+override only what differs, mirroring the reference's YAML values.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict
+
+from ..utils.config import deep_merge
+
+
+def _base(name: str, algo: str = "a2c_continuous") -> dict:
+    return {
+        "params": {
+            "seed": 42,
+            "algo": {"name": algo},
+            "model": {"name": "continuous_a2c_logstd"},
+            "network": {
+                "name": "actor_critic",
+                "separate": False,
+                "space": {
+                    "continuous": {
+                        "mu_activation": "None",
+                        "sigma_activation": "None",
+                        "mu_init": {"name": "default"},
+                        "sigma_init": {"name": "const_initializer", "val": 0},
+                        "fixed_sigma": True,
+                    }
+                },
+                "mlp": {"units": [256, 128, 64], "activation": "elu",
+                        "initializer": {"name": "default"}},
+            },
+            "load_checkpoint": False,
+            "load_path": "",
+            "config": {
+                "name": name,
+                "env_name": "rlgpu",
+                "multi_gpu": False,
+                "ppo": True,
+                "mixed_precision": False,
+                "normalize_input": True,
+                "normalize_value": True,
+                "reward_shaper": {"scale_value": 1.0},
+                "normalize_advantage": True,
+                "gamma": 0.99,
+                "tau": 0.95,
+                "learning_rate": 3e-4,
+                "lr_schedule": "adaptive",
+                "schedule_type": "legacy",
+                "kl_threshold": 0.008,
+                "score_to_win": 20000,
+                "max_epochs": 500,
+                "save_best_after": 100,
+                "save_frequency": 50,
+                "grad_norm": 1.0,
+                "entropy_coef": 0.0,
+                "truncate_grads": True,
+                "e_clip": 0.2,
+                "horizon_length": 16,
+                "minibatch_size": 32768,
+                "mini_epochs": 4,
+                "critic_coef": 2,
+                "clip_value": True,
+                "seq_len": 4,
+                "bounds_loss_coef": 0.0001,
+            },
+        }
+    }
+
+
+def _cfg(name, algo="a2c_continuous", units=None, **config):
+    c = _base(name, algo)
+    if units is not None:
+        c["params"]["network"]["mlp"]["units"] = list(units)
+    c["params"]["config"].update(config)
+    return c
+
+
+# values mirror the reference cfg/train/<Task>PPO.yaml files
+_TRAIN: Dict[str, dict] = {
+    "Cartpole": _cfg(
+        "Cartpole", units=[32, 32],
+        reward_shaper={"scale_value": 0.1}, max_epochs=100, save_best_after=50,
+        save_frequency=25, horizon_length=16, minibatch_size=8192,
+        mini_epochs=8, critic_coef=4,
+    ),
+    "Ant": _cfg(
+        "Ant", units=[256, 128, 64], mixed_precision=True, value_bootstrap=True,
+        reward_shaper={"scale_value": 0.01}, max_epochs=500, save_best_after=200,
+        horizon_length=16, minibatch_size=32768, mini_epochs=4, critic_coef=2,
+        truncate_grads=False,
+    ),
+    "Humanoid": _cfg(
+        "Humanoid", units=[400, 200, 100], mixed_precision=True,
+        value_bootstrap=True, reward_shaper={"scale_value": 0.01},
+        max_epochs=1000, save_best_after=200, horizon_length=32,
+        minibatch_size=32768, mini_epochs=5, critic_coef=4,
+    ),
+    "BallBalance": _cfg(
+        "BallBalance", units=[128, 64, 32], reward_shaper={"scale_value": 0.1},
+        max_epochs=250, save_best_after=50, horizon_length=16,
+        minibatch_size=8192, mini_epochs=8, critic_coef=4, learning_rate=3e-4,
+    ),
+    "Anymal": _cfg(
+        "Anymal", units=[256, 128, 64], reward_shaper={"scale_value": 1.0},
+        max_epochs=1000, horizon_length=24, minibatch_size=32768,
+        mini_epochs=5, critic_coef=2, learning_rate=3e-4, kl_threshold=0.008,
+    ),
+    "AnymalTerrain": _cfg(
+        "AnymalTerrain", units=[512, 256, 128], reward_shaper={"scale_value": 1.0},
+        max_epochs=1500, horizon_length=24, minibatch_size=16384,
+        mini_epochs=5, critic_coef=2, learning_rate=3e-4, kl_threshold=0.008,
+        e_clip=0.2, entropy_coef=0.001, grad_norm=1.0,
+    ),
+    "FrankaReach": _cfg(
+        "FrankaReach", units=[256, 128, 64], reward_shaper={"scale_value": 0.01},
+        max_epochs=500, horizon_length=32, minibatch_size=8192, mini_epochs=8,
+        critic_coef=4,
+    ),
+    # the fork's MA learner: same PPO core, agent-strided episode stats
+    # (cfg/train/FrankaReachMAPPO.yaml:4 algo a2c_continuous_MA)
+    "FrankaReachMA": _cfg(
+        "FrankaReachMA", algo="a2c_continuous_MA", units=[256, 128, 64],
+        reward_shaper={"scale_value": 0.01}, max_epochs=1500,
+        horizon_length=32, minibatch_size=16384, mini_epochs=8, critic_coef=4,
+    ),
+    "FrankaCollectMA": _cfg(
+        "FrankaCollectMA", algo="a2c_continuous_MA", units=[256, 128, 64],
+        reward_shaper={"scale_value": 0.01}, max_epochs=1500,
+        horizon_length=32, minibatch_size=16384, mini_epochs=8, critic_coef=4,
+    ),
+    "FrankaPPMA": _cfg(
+        "FrankaPPMA", algo="a2c_continuous_MA", units=[256, 128, 64],
+        reward_shaper={"scale_value": 0.01}, max_epochs=1500,
+        horizon_length=32, minibatch_size=16384, mini_epochs=8, critic_coef=4,
+    ),
+    "FrankaCombineMA": _cfg(
+        "FrankaCombineMA", algo="a2c_continuous_MA", units=[256, 128, 64],
+        reward_shaper={"scale_value": 0.01}, max_epochs=1500,
+        horizon_length=32, minibatch_size=16384, mini_epochs=8, critic_coef=4,
+    ),
+    "ShadowHand": _cfg(
+        "ShadowHand", units=[512, 512, 256, 128], value_bootstrap=True,
+        reward_shaper={"scale_value": 0.01}, max_epochs=5000,
+        horizon_length=8, minibatch_size=32768, mini_epochs=5, critic_coef=4,
+        learning_rate=5e-4,
+    ),
+    "AllegroHand": _cfg(
+        "AllegroHand", units=[512, 256, 128], value_bootstrap=True,
+        reward_shaper={"scale_value": 0.01}, max_epochs=5000,
+        horizon_length=8, minibatch_size=32768, mini_epochs=5, critic_coef=4,
+        learning_rate=5e-4,
+    ),
+    "Ingenuity": _cfg(
+        "Ingenuity", units=[256, 256, 128], reward_shaper={"scale_value": 0.01},
+        max_epochs=400, horizon_length=16, minibatch_size=16384, mini_epochs=8,
+    ),
+    "Quadcopter": _cfg(
+        "Quadcopter", units=[256, 256, 128], reward_shaper={"scale_value": 0.1},
+        max_epochs=1000, horizon_length=16, minibatch_size=16384, mini_epochs=8,
+    ),
+    "FrankaCabinet": _cfg(
+        "FrankaCabinet", units=[256, 128, 64], reward_shaper={"scale_value": 0.01},
+        max_epochs=1500, horizon_length=16, minibatch_size=8192, mini_epochs=8,
+        critic_coef=4,
+    ),
+    "FrankaCubeStack": _cfg(
+        "FrankaCubeStack", units=[256, 128, 64], reward_shaper={"scale_value": 0.1},
+        max_epochs=10000, horizon_length=32, minibatch_size=16384, mini_epochs=8,
+    ),
+    "HumanoidAMP": _cfg(
+        "HumanoidAMP", algo="amp_continuous", units=[1024, 512],
+        reward_shaper={"scale_value": 1.0}, max_epochs=5000,
+        horizon_length=16, minibatch_size=32768, mini_epochs=6,
+        critic_coef=5, learning_rate=5e-5, lr_schedule="fixed",
+        e_clip=0.2, entropy_coef=0.0, truncate_grads=True, grad_norm=1.0,
+    ),
+}
+
+
+def train_default_config(task_name: str) -> dict:
+    if task_name not in _TRAIN:
+        # sensible default for unlisted tasks
+        return copy.deepcopy(_base(task_name))
+    return copy.deepcopy(_TRAIN[task_name])

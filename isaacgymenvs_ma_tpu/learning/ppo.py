@@ -1,0 +1,393 @@
+"""PPO learner — the rl_games ``a2c_continuous`` equivalent, fully jitted.
+
+Re-implements the training semantics the reference gets from external
+rl_games >= 1.6 (SURVEY.md §2.4) the TPU way: the entire epoch — horizon
+rollout (policy forward + env step), GAE, minibatched SGD with adaptive-KL LR
+— is ONE jitted function ``train_epoch``; the host loop only logs.  Matching
+features:
+
+* diagonal-gaussian actor with fixed learnable log-sigma, shared-trunk MLP
+  (``params.network`` schema),
+* running mean/std obs and value normalization (``normalize_input/value``),
+* GAE(lambda) with the ``value_bootstrap`` timeout trick — reward +=
+  gamma * V(s) * time_outs (consumed exactly like ``A2CAgent_MA.py:36-37``),
+* clipped surrogate + clipped value loss + entropy + mu bounds loss,
+* adaptive-KL learning rate (the 'adaptive'/'legacy' scheduler: lr /= 1.5
+  above 2*kl_threshold, *= 1.5 below threshold/2, clamped to [1e-6, 1e-2]),
+* reward shaper (scale_value), grad-norm truncation,
+* multi-agent batch folding: the env emits ``B = num_envs * num_agents`` actor
+  rows; episode stats stride by ``num_agents`` (``A2CAgent_MA.py:44-47``).
+
+Multi-host: constructed with a mesh, the env batch is sharded over the
+``env`` axis and parameters are replicated; XLA inserts the gradient psum
+(the NCCL-DDP replacement — SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .networks import (ActorCritic, build_network, gaussian_entropy,
+                       gaussian_kl, gaussian_neglogp)
+from .running_norm import RunningMeanStd
+
+
+class PPOConfig(NamedTuple):
+    horizon_length: int = 16
+    minibatch_size: int = 8192
+    mini_epochs: int = 4
+    gamma: float = 0.99
+    tau: float = 0.95
+    learning_rate: float = 3e-4
+    kl_threshold: float = 0.008
+    e_clip: float = 0.2
+    clip_value: bool = True
+    critic_coef: float = 2.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 0.0001
+    grad_norm: float = 1.0
+    truncate_grads: bool = True
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    value_bootstrap: bool = False
+    reward_scale: float = 1.0
+    reward_shift: float = 0.0
+    max_epochs: int = 500
+    save_frequency: int = 50
+    score_to_win: float = float("inf")
+    lr_schedule: str = "adaptive"  # or "fixed"
+
+    @staticmethod
+    def from_train_cfg(cfg: dict) -> "PPOConfig":
+        c = cfg["params"]["config"]
+        shaper = c.get("reward_shaper", {})
+        return PPOConfig(
+            horizon_length=int(c.get("horizon_length", 16)),
+            minibatch_size=int(c.get("minibatch_size", 8192)),
+            mini_epochs=int(c.get("mini_epochs", 4)),
+            gamma=float(c.get("gamma", 0.99)),
+            tau=float(c.get("tau", 0.95)),
+            learning_rate=float(c.get("learning_rate", 3e-4)),
+            kl_threshold=float(c.get("kl_threshold", 0.008)),
+            e_clip=float(c.get("e_clip", 0.2)),
+            clip_value=bool(c.get("clip_value", True)),
+            critic_coef=float(c.get("critic_coef", 2.0)),
+            entropy_coef=float(c.get("entropy_coef", 0.0)),
+            bounds_loss_coef=float(c.get("bounds_loss_coef", 0.0) or 0.0),
+            grad_norm=float(c.get("grad_norm", 1.0)),
+            truncate_grads=bool(c.get("truncate_grads", True)),
+            normalize_input=bool(c.get("normalize_input", True)),
+            normalize_value=bool(c.get("normalize_value", True)),
+            normalize_advantage=bool(c.get("normalize_advantage", True)),
+            value_bootstrap=bool(c.get("value_bootstrap", False)),
+            reward_scale=float(shaper.get("scale_value", 1.0)),
+            reward_shift=float(shaper.get("shift_value", 0.0)),
+            max_epochs=int(c.get("max_epochs", 500)),
+            save_frequency=int(c.get("save_frequency", 50)),
+            score_to_win=float(c.get("score_to_win", 1e18)),
+            lr_schedule=str(c.get("lr_schedule", "adaptive")),
+        )
+
+
+class PPOState(NamedTuple):
+    params: Any
+    opt_state: Any
+    obs_rms: RunningMeanStd
+    value_rms: RunningMeanStd
+    lr: jax.Array
+    env_state: Any
+    last_obs: jax.Array
+    key: jax.Array
+    epoch: jax.Array
+    frames: jax.Array
+    # episode trackers (per tracked env row)
+    ep_return: jax.Array
+    ep_length: jax.Array
+    mean_return: jax.Array   # exp-smoothed mean of finished episodes
+    mean_length: jax.Array
+
+
+class Rollout(NamedTuple):
+    obs: jax.Array
+    actions: jax.Array
+    neglogp: jax.Array
+    values: jax.Array
+    rewards: jax.Array
+    dones: jax.Array
+    mu: jax.Array
+    sigma: jax.Array
+
+
+class PPOAgent:
+    """Trains one task.  All heavy methods are jit-compiled once."""
+
+    def __init__(self, task, train_cfg: dict, seed: int = 42):
+        self.task = task
+        self.cfg = PPOConfig.from_train_cfg(train_cfg)
+        self.net = build_network(train_cfg["params"]["network"],
+                                 task.num_actions)
+        self.batch = task.rl_games_batch
+        self.horizon = self.cfg.horizon_length
+        total = self.batch * self.horizon
+        assert total % self.cfg.minibatch_size == 0, (
+            f"batch {total} not divisible by minibatch {self.cfg.minibatch_size}")
+        self.num_minibatches = total // self.cfg.minibatch_size
+        self.seed = seed
+        self._optim = optax.chain(
+            optax.clip_by_global_norm(self.cfg.grad_norm)
+            if self.cfg.truncate_grads else optax.identity(),
+            optax.scale_by_adam(eps=1e-8),
+            optax.scale(-1.0),
+        )
+        self.train_epoch = jax.jit(self._train_epoch)
+
+    # ------------------------------------------------------------------
+    def init(self, key: Optional[jax.Array] = None) -> PPOState:
+        if key is None:
+            key = jax.random.PRNGKey(self.seed)
+        k_net, k_env, key = jax.random.split(key, 3)
+        params = self.net.init(
+            k_net, jnp.zeros((1, self.task.num_obs), jnp.float32))
+        env_state = self.task.initial_state(k_env)
+        env_state, obs = self.task.reset(env_state)
+        nt = self.batch // self.task.num_agents
+        return PPOState(
+            params=params,
+            opt_state=self._optim.init(params),
+            obs_rms=RunningMeanStd.create((self.task.num_obs,)),
+            value_rms=RunningMeanStd.create(()),
+            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
+            env_state=env_state,
+            last_obs=obs,
+            key=key,
+            epoch=jnp.asarray(0, jnp.int32),
+            frames=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+            ep_return=jnp.zeros(nt, jnp.float32),
+            ep_length=jnp.zeros(nt, jnp.float32),
+            mean_return=jnp.asarray(0.0, jnp.float32),
+            mean_length=jnp.asarray(0.0, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
+    def _policy(self, params, obs_rms, obs):
+        o = obs_rms.normalize(obs) if self.cfg.normalize_input else obs
+        return self.net.apply(params, o)
+
+    def _rollout(self, state: PPOState) -> Tuple[PPOState, Rollout, jax.Array, Dict]:
+        cfg = self.cfg
+        na = self.task.num_agents
+
+        def step_fn(carry, _):
+            env_state, obs, key, ep_ret, ep_len, fin = carry
+            key, k_act = jax.random.split(key)
+            mu, log_sigma, v_norm = self._policy(state.params, state.obs_rms, obs)
+            sigma = jnp.exp(log_sigma)
+            actions = mu + sigma * jax.random.normal(k_act, mu.shape)
+            neglogp = gaussian_neglogp(mu, log_sigma, actions)
+            value = state.value_rms.denormalize(v_norm) if cfg.normalize_value else v_norm
+
+            env_state, res = self.task.step(env_state, actions)
+            rew = cfg.reward_scale * (res.rew + cfg.reward_shift)
+            if cfg.value_bootstrap:
+                rew = rew + cfg.gamma * value * res.extras["time_outs"].astype(rew.dtype)
+            done = (res.reset > 0)
+
+            # episode stats stride by num_agents (A2CAgent_MA.py:44-47)
+            row_rew = res.rew[::na]
+            row_done = done[::na]
+            ep_ret = ep_ret + row_rew
+            ep_len = ep_len + 1.0
+            fin_sum, fin_len, fin_cnt = fin
+            fin = (fin_sum + jnp.sum(jnp.where(row_done, ep_ret, 0.0)),
+                   fin_len + jnp.sum(jnp.where(row_done, ep_len, 0.0)),
+                   fin_cnt + jnp.sum(row_done))
+            ep_ret = jnp.where(row_done, 0.0, ep_ret)
+            ep_len = jnp.where(row_done, 0.0, ep_len)
+
+            out = Rollout(obs=obs, actions=actions, neglogp=neglogp, values=value,
+                          rewards=rew, dones=done, mu=mu, sigma=sigma)
+            return (env_state, res.obs, key, ep_ret, ep_len, fin), out
+
+        fin0 = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
+        (env_state, last_obs, key, ep_ret, ep_len, fin), roll = jax.lax.scan(
+            step_fn,
+            (state.env_state, state.last_obs, state.key, state.ep_return,
+             state.ep_length, fin0),
+            None, length=self.horizon)
+
+        fin_sum, fin_len, fin_cnt = fin
+        has = fin_cnt > 0
+        mean_return = jnp.where(has, fin_sum / jnp.maximum(fin_cnt, 1.0),
+                                state.mean_return)
+        mean_length = jnp.where(has, fin_len / jnp.maximum(fin_cnt, 1.0),
+                                state.mean_length)
+        state = state._replace(env_state=env_state, last_obs=last_obs, key=key,
+                               ep_return=ep_ret, ep_length=ep_len,
+                               mean_return=mean_return, mean_length=mean_length)
+        stats = {"episodes_done": fin_cnt}
+        return state, roll, last_obs, stats
+
+    def _gae(self, state: PPOState, roll: Rollout, last_obs: jax.Array):
+        cfg = self.cfg
+        _, _, v_norm = self._policy(state.params, state.obs_rms, last_obs)
+        last_value = state.value_rms.denormalize(v_norm) if cfg.normalize_value else v_norm
+
+        def scan_fn(lastgaelam, inp):
+            rew, done, value, next_value = inp
+            nonterminal = 1.0 - done.astype(jnp.float32)
+            delta = rew + cfg.gamma * next_value * nonterminal - value
+            lastgaelam = delta + cfg.gamma * cfg.tau * nonterminal * lastgaelam
+            return lastgaelam, lastgaelam
+
+        next_values = jnp.concatenate([roll.values[1:], last_value[None]], axis=0)
+        _, adv = jax.lax.scan(
+            scan_fn, jnp.zeros_like(last_value),
+            (roll.rewards, roll.dones, roll.values, next_values), reverse=True)
+        returns = adv + roll.values
+        return adv, returns
+
+    def _loss(self, params, mb, value_rms):
+        cfg = self.cfg
+        obs, actions, old_neglogp, old_values_n, adv, returns_n, old_mu, old_sigma = mb
+        mu, log_sigma, v_pred_n = self.net.apply(params, obs)
+        neglogp = gaussian_neglogp(mu, log_sigma, actions)
+        ratio = jnp.exp(old_neglogp - neglogp)
+        surr1 = adv * ratio
+        surr2 = adv * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = -jnp.minimum(surr1, surr2).mean()
+
+        if cfg.clip_value:
+            v_clipped = old_values_n + jnp.clip(
+                v_pred_n - old_values_n, -cfg.e_clip, cfg.e_clip)
+            c_loss = jnp.maximum(jnp.square(v_pred_n - returns_n),
+                                 jnp.square(v_clipped - returns_n)).mean()
+        else:
+            c_loss = jnp.square(v_pred_n - returns_n).mean()
+
+        entropy = gaussian_entropy(log_sigma).mean()
+        b_loss = jnp.sum(
+            jnp.square(jnp.maximum(mu - 1.1, 0.0))
+            + jnp.square(jnp.minimum(mu + 1.1, 0.0)), axis=-1).mean()
+
+        total = (a_loss + 0.5 * cfg.critic_coef * c_loss
+                 - cfg.entropy_coef * entropy + cfg.bounds_loss_coef * b_loss)
+        kl = gaussian_kl(old_mu, jnp.log(old_sigma), mu, log_sigma).mean()
+        return total, (a_loss, c_loss, entropy, kl)
+
+    def _train_epoch(self, state: PPOState):
+        cfg = self.cfg
+        state, roll, last_obs, stats = self._rollout(state)
+        adv, returns = self._gae(state, roll, last_obs)
+
+        # flatten (T, B, ...) -> (T*B, ...)
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+        obs_f = flat(roll.obs)
+        if cfg.normalize_input:
+            # normalize the training batch with the SAME stats the rollout
+            # policy used (old mu/neglogp consistency), then update for the
+            # next epoch.
+            obs_train = state.obs_rms.normalize(obs_f)
+            state = state._replace(obs_rms=state.obs_rms.update(obs_f))
+        else:
+            obs_train = obs_f
+        if cfg.normalize_value:
+            value_rms = state.value_rms.update(flat(returns))
+            state = state._replace(value_rms=value_rms)
+            returns_n = value_rms.normalize(flat(returns), clip=1e8)
+            old_values_n = value_rms.normalize(flat(roll.values), clip=1e8)
+        else:
+            returns_n = flat(returns)
+            old_values_n = flat(roll.values)
+
+        adv_f = flat(adv)
+        if cfg.normalize_advantage:
+            adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
+
+        data = (obs_train, flat(roll.actions), flat(roll.neglogp), old_values_n,
+                adv_f, returns_n, flat(roll.mu), flat(roll.sigma))
+
+        key, k_perm = jax.random.split(state.key)
+        total = obs_f.shape[0]
+
+        def mini_epoch(carry, k):
+            params, opt_state, lr = carry
+            perm = jax.random.permutation(k, total)
+
+            def mb_step(carry2, idx):
+                params, opt_state, lr = carry2
+                mb = tuple(jax.tree.map(lambda x: x[idx], d) for d in data)
+                (loss, (a_l, c_l, ent, kl)), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(params, mb, state.value_rms)
+                updates, opt_state = self._optim.update(grads, opt_state, params)
+                updates = jax.tree.map(lambda u: lr * u, updates)
+                params = optax.apply_updates(params, updates)
+                if cfg.lr_schedule == "adaptive":
+                    lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                                   jnp.maximum(lr / 1.5, 1e-6), lr)
+                    lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                                   jnp.minimum(lr * 1.5, 1e-2), lr)
+                return (params, opt_state, lr), (loss, a_l, c_l, ent, kl)
+
+            idxs = perm[: self.num_minibatches * cfg.minibatch_size].reshape(
+                self.num_minibatches, cfg.minibatch_size)
+            carry, metrics = jax.lax.scan(mb_step, (params, opt_state, lr), idxs)
+            return carry, metrics
+
+        keys = jax.random.split(k_perm, cfg.mini_epochs)
+        (params, opt_state, lr), metrics = jax.lax.scan(
+            mini_epoch, (state.params, state.opt_state, state.lr), keys)
+        loss, a_l, c_l, ent, kl = jax.tree.map(jnp.mean, metrics)
+
+        state = state._replace(
+            params=params, opt_state=opt_state, lr=lr, key=key,
+            epoch=state.epoch + 1,
+            frames=state.frames + total)
+        out_metrics = {
+            "loss": loss, "a_loss": a_l, "c_loss": c_l, "entropy": ent,
+            "kl": kl, "lr": lr, "mean_return": state.mean_return,
+            "mean_length": state.mean_length, "frames": state.frames,
+            "episodes_done": stats["episodes_done"],
+        }
+        return state, out_metrics
+
+    # ------------------------------------------------------------------
+    def train(self, max_epochs: Optional[int] = None, log_every: int = 20,
+              state: Optional[PPOState] = None, observers=(),
+              score_to_win: Optional[float] = None):
+        """Host driver loop (the rl_games Runner.run({'train': True}) path)."""
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.max_epochs
+        score_to_win = score_to_win if score_to_win is not None else cfg.score_to_win
+        if state is None:
+            state = self.init()
+        t0 = time.time()
+        for ep in range(max_epochs):
+            state, metrics = self.train_epoch(state)
+            if (ep + 1) % log_every == 0 or ep == max_epochs - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                fps = m["frames"] / max(time.time() - t0, 1e-9)
+                print(f"epoch {ep+1}/{max_epochs} reward {m['mean_return']:.2f} "
+                      f"len {m['mean_length']:.0f} kl {m['kl']:.4f} lr {m['lr']:.2e} "
+                      f"fps {fps:,.0f}")
+                for obv in observers:
+                    obv.after_print_stats(ep + 1, m)
+                if m["mean_return"] >= score_to_win:
+                    print(f"score_to_win {score_to_win} reached")
+                    break
+        return state
+
+    # ------------------------------------------------------------------
+    def act(self, state: PPOState, obs, deterministic: bool = True, key=None):
+        """Player path (PpoPlayerContinuous.get_action equivalent)."""
+        mu, log_sigma, _ = self._policy(state.params, state.obs_rms, obs)
+        if deterministic:
+            return mu
+        return mu + jnp.exp(log_sigma) * jax.random.normal(key, mu.shape)
