@@ -217,7 +217,13 @@ class MJCFParser:
         if custom is not None:
             for num in custom.findall("numeric"):
                 if num.get("name") == "init_qpos":
-                    model.init_qpos = _floats(num.get("data"))
+                    q0 = _floats(num.get("data"))
+                    # MuJoCo free-joint quats are wxyz; convert to xyzw
+                    for b in range(model.nb):
+                        if model.jnt_type[b] == FREE:
+                            qa = int(model.q_adr[b])
+                            q0[qa + 3: qa + 7] = _wxyz_to_xyzw(q0[qa + 3: qa + 7])
+                    model.init_qpos = q0
         return model
 
 

@@ -132,7 +132,15 @@ class PhysicsEngine:
         # structure masks as f32 for einsum contractions
         self.body_anc_f = f32(m.body_ancestor)          # (nb, nb)
         self.dof_body_mask_f = f32(m.dof_body_mask)     # (nv, nb)
-        self.dof_anc = jnp.asarray(m.dof_ancestor)      # (nv, nv) bool
+        # CRBA mask: count each (i, j) pair once — strict ancestor body, or
+        # same body with i <= j (multi-dof free joints would otherwise get
+        # their off-diagonal block double-counted by the symmetrization)
+        dof_body_np = np.asarray(m.dof_body)
+        same_body = dof_body_np[:, None] == dof_body_np[None, :]
+        iu = np.arange(m.nv)
+        upper_tri = iu[:, None] <= iu[None, :]
+        anc = np.asarray(m.dof_ancestor)
+        self.dof_anc = jnp.asarray((anc & ~same_body) | (same_body & upper_tri))
 
         # dof bookkeeping: which q index each 1-dof joint reads
         jq = []
