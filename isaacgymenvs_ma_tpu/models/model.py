@@ -436,3 +436,57 @@ def default_qpos(model: SceneModel) -> np.ndarray:
     if model.init_qpos is not None:
         return model.init_qpos.copy()
     return q
+
+
+# ---------------------------------------------------------------------------
+# spec (de)serialization — lets finalized robots ship as plain Python data
+
+
+def model_to_spec(m: SceneModel) -> dict:
+    """Serialize a finalized model to a JSON-able dict (arrays -> lists)."""
+    spec = {}
+    for f in dataclasses.fields(SceneModel):
+        v = getattr(m, f.name)
+        if f.name == "geoms":
+            spec["geoms"] = [
+                {
+                    "body": int(g.body), "gtype": int(g.gtype),
+                    "size": g.size.tolist(), "pos": g.pos.tolist(),
+                    "quat": g.quat.tolist(), "friction": float(g.friction),
+                    "contact": bool(g.contact), "name": g.name,
+                }
+                for g in v
+            ]
+        elif isinstance(v, np.ndarray):
+            spec[f.name] = v.tolist()
+        else:
+            spec[f.name] = v
+    return spec
+
+
+def model_from_spec(spec: dict) -> SceneModel:
+    kw = dict(spec)
+    kw["geoms"] = [
+        Geom(body=g["body"], gtype=g["gtype"], size=np.asarray(g["size"], np.float64),
+             pos=np.asarray(g["pos"], np.float64), quat=np.asarray(g["quat"], np.float64),
+             friction=g["friction"], contact=g["contact"], name=g.get("name", ""))
+        for g in spec["geoms"]
+    ]
+    int_fields = {"parent", "jnt_type", "q_adr", "v_adr", "dof_body",
+                  "dof_drive_mode", "actor_root_body", "sensor_body", "actuator_dof"}
+    bool_fields = {"dof_has_limit"}
+    for f in dataclasses.fields(SceneModel):
+        n = f.name
+        if n in ("geoms", "nb", "nq", "nv", "body_names", "num_actors"):
+            continue
+        v = kw.get(n)
+        if isinstance(v, list):
+            if n in int_fields:
+                kw[n] = np.asarray(v, np.int32)
+            elif n in bool_fields or n in ("body_ancestor", "dof_ancestor", "dof_body_mask"):
+                kw[n] = np.asarray(v, bool)
+            else:
+                kw[n] = np.asarray(v, np.float64)
+    if kw.get("init_qpos") is not None and not isinstance(kw["init_qpos"], np.ndarray):
+        kw["init_qpos"] = np.asarray(kw["init_qpos"], np.float64)
+    return SceneModel(**kw)

@@ -85,6 +85,8 @@ class SimOutput(NamedTuple):
     contact_force: jax.Array   # (N, nb, 3) net contact force per body (world)
     sensor_forces: jax.Array   # (N, n_sensors, 6) [force, torque] in body frame
     qdd: jax.Array             # (N, nv) smooth accelerations (pre-contact)
+    dof_force: jax.Array       # (N, nv) applied + constraint generalized force
+                               # (the acquire_dof_force_tensor readout)
 
 
 def _cross(a, b):
@@ -405,8 +407,9 @@ class PhysicsEngine:
 
         # ---------------- unilateral constraints (contacts + joint limits)
         impulse_pts = None
+        imp_dof = jnp.zeros_like(qd_new)
         if self.ground and self.n_pts:
-            qd_new, impulse_pts, p_w = self._contact_solve(
+            qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain)
         else:
             qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
@@ -418,7 +421,7 @@ class PhysicsEngine:
 
         # ---------------- integrate
         q_new = self._integrate(q, qd_new)
-        return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w)
+        return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w, imp_dof)
 
     def _contact_point_jacobian(self, body_x, body_q, S):
         """World positions p (N, n_pts, 3) and J (N, n_pts, nv, 3)."""
@@ -493,7 +496,8 @@ class PhysicsEngine:
 
         (qd, lam, lam_lo, lam_hi), _ = jax.lax.scan(
             body_fn, (qd, lam, lam_lo, lam_hi), None, length=self.params.num_iterations)
-        return qd, lam, p
+        imp_dof = jnp.einsum("npvk,npk->nv", J, lam) + (lam_lo - lam_hi)
+        return qd, lam, p, imp_dof
 
     def _limit_solve(self, qd, Hinv, qpos_dof):
         """Joint-limit-only solve for contact-free scenes (e.g. Cartpole)."""
@@ -562,20 +566,24 @@ class PhysicsEngine:
         """
         q, qd = state.q, state.qd
         impulse_accum = None
+        imp_dof_accum = jnp.zeros_like(qd)
         aux = None
         for _ in range(self.params.substeps):
             q, qd, aux = self.substep(q, qd, ctrl, terrain)
             if aux[4] is not None:
                 impulse_accum = aux[4] if impulse_accum is None else impulse_accum + aux[4]
-        body_x, body_q, V, qdd, _, p_w = aux
+            imp_dof_accum = imp_dof_accum + aux[6]
+        body_x, body_q, V, qdd, _, p_w, _ = aux
         # refresh kinematic outputs at the *new* state
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)
         V = self.body_velocities(S, qd)
-        out = self._outputs(q, qd, body_x, body_q, V, qdd, impulse_accum, p_w)
+        dof_force = ctrl.tau + imp_dof_accum / self.params.dt
+        out = self._outputs(q, qd, body_x, body_q, V, qdd, impulse_accum, p_w,
+                            dof_force)
         return SimState(q, qd), out
 
-    def _outputs(self, q, qd, body_x, body_q, V, qdd, impulses, p_w):
+    def _outputs(self, q, qd, body_x, body_q, V, qdd, impulses, p_w, dof_force=None):
         N = q.shape[0]
         f32 = q.dtype
         # per-body linear velocity at body origin: v_o + w x x_b
@@ -618,6 +626,7 @@ class PhysicsEngine:
             contact_force=contact_force,
             sensor_forces=sensor_forces,
             qdd=qdd,
+            dof_force=dof_force if dof_force is not None else jnp.zeros_like(qd),
         )
 
     def forward(self, state: SimState, prev_out: Optional[SimOutput] = None) -> SimOutput:
@@ -648,6 +657,7 @@ class PhysicsEngine:
             contact_force=prev_out.contact_force if prev_out is not None else zeros_cf,
             sensor_forces=prev_out.sensor_forces if prev_out is not None else zeros_sf,
             qdd=prev_out.qdd if prev_out is not None else jnp.zeros((N, self.nv), q.dtype),
+            dof_force=prev_out.dof_force if prev_out is not None else jnp.zeros((N, self.nv), q.dtype),
         )
 
     # ------------------------------------------------------------------

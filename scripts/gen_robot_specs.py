@@ -1,0 +1,49 @@
+"""One-time codegen: parse robot description assets into checked-in Python
+specs (isaacgymenvs_ma_tpu/models/specs/*.py) so the framework is standalone.
+
+The physical descriptions (MuJoCo humanoid etc.) are standard published robot
+models; we ship them as data in our own spec format, produced through our MJCF
+parser.  Re-run when the parser or source assets change.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from isaacgymenvs_ma_tpu.models.mjcf import load_mjcf
+from isaacgymenvs_ma_tpu.models.model import model_to_spec
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "isaacgymenvs_ma_tpu", "models", "specs")
+
+ASSETS = {
+    "humanoid": "/root/reference/assets/mjcf/nv_humanoid.xml",
+    "amp_humanoid": "/root/reference/assets/mjcf/amp_humanoid.xml",
+}
+
+TEMPLATE = '''"""Auto-generated robot spec ({name}) — produced by scripts/gen_robot_specs.py.
+
+Physical description of the standard {name} model (see the published MuJoCo
+model family), serialized through our MJCF parser into the SceneModel spec
+format.  Load with ``models.model.model_from_spec(SPEC)``.
+"""
+
+SPEC = {spec}
+'''
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, path in ASSETS.items():
+        if not os.path.exists(path):
+            print(f"skip {name}: {path} not found")
+            continue
+        m = load_mjcf(path)
+        spec = model_to_spec(m)
+        text = TEMPLATE.format(name=name, spec=repr(spec))
+        with open(os.path.join(OUT, f"{name}.py"), "w") as f:
+            f.write(text)
+        print(f"wrote {name}: nb={m.nb} nv={m.nv} geoms={len(m.geoms)}")
+
+
+if __name__ == "__main__":
+    main()
