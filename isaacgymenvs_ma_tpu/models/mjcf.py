@@ -19,11 +19,12 @@ from typing import Dict, Optional
 import numpy as np
 
 from .model import (
-    FIXED, FREE, GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, HINGE, SLIDE,
-    ModelBuilder, SceneModel, quat_between_np,
+    FIXED, FREE, GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE, HINGE,
+    SLIDE, ModelBuilder, SceneModel, quat_between_np,
 )
 
-_GEOM_TYPES = {"sphere": GEOM_SPHERE, "capsule": GEOM_CAPSULE, "box": GEOM_BOX}
+_GEOM_TYPES = {"sphere": GEOM_SPHERE, "capsule": GEOM_CAPSULE, "box": GEOM_BOX,
+               "cylinder": GEOM_CYLINDER}
 _JOINT_TYPES = {"hinge": HINGE, "slide": SLIDE, "free": FREE}
 
 
@@ -119,7 +120,7 @@ class MJCFParser:
                 pos = _floats(g.get("pos"))
             if g.get("quat") is not None:
                 quat = _wxyz_to_xyzw(_floats(g.get("quat")))
-            if gtype == "capsule" and size.shape[0] >= 2:
+            if gtype in ("capsule", "cylinder") and size.shape[0] >= 2:
                 size = np.array([size[0], size[1], 0.0])
         if gtype == "sphere":
             size = np.array([size[0], 0.0, 0.0])

@@ -27,7 +27,7 @@ import numpy as np
 # joint types
 FREE, HINGE, SLIDE, FIXED = 0, 1, 2, 3
 # geom types
-GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX, GEOM_PLANE = 0, 1, 2, 3
+GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX, GEOM_PLANE, GEOM_CYLINDER = 0, 1, 2, 3, 4
 # dof drive modes (mirror gymapi.DOF_MODE_*, set via dof props as in
 # tasks/cartpole.py:115-119)
 DRIVE_NONE, DRIVE_POS, DRIVE_VEL, DRIVE_EFFORT = 0, 1, 2, 3
@@ -123,6 +123,12 @@ def geom_mass_props(gtype: int, size: np.ndarray, density: float):
         return m, np.zeros(3), np.diag(
             [c * (hy * hy + hz * hz), c * (hx * hx + hz * hz), c * (hx * hx + hy * hy)]
         )
+    if gtype == GEOM_CYLINDER:
+        r, hh = size[0], size[1]  # radius, half-height (axis z)
+        m = density * np.pi * r * r * 2.0 * hh
+        iz = 0.5 * m * r * r
+        ix = m * ((2 * hh) ** 2 / 12.0 + r * r / 4.0)
+        return m, np.zeros(3), np.diag([ix, ix, iz])
     raise ValueError(f"no mass props for geom type {gtype}")
 
 
@@ -203,8 +209,10 @@ class SceneModel:
     # actors: index ranges over bodies; root body per actor
     actor_root_body: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.int32))
     num_actors: int = 1
-    # force sensors: list of body indices (ant feet: tasks/ant.py:174-178)
+    # force sensors: body indices + local poses (tasks/ant.py:174-178,
+    # ball_balance.py:265-271 places them at offsets on the tray)
     sensor_body: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.int32))
+    sensor_pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros((0, 3)))
     # actuated dofs (MJCF <actuator> or URDF effort joints): dof index + gear
     actuator_dof: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.int32))
     actuator_gear: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
@@ -330,8 +338,8 @@ class ModelBuilder:
         if inertia is not None:
             bd.inertia = np.asarray(inertia, np.float64)
 
-    def add_force_sensor(self, body: int):
-        self.sensors.append(body)
+    def add_force_sensor(self, body: int, pos=(0.0, 0.0, 0.0)):
+        self.sensors.append((body, np.asarray(pos, np.float64)))
 
     def add_actuator(self, dof_body: int, gear: float, sub_dof: int = 0):
         # resolved to flat dof index at finalize
@@ -419,7 +427,9 @@ class ModelBuilder:
             geoms=list(self.geoms),
             actor_root_body=np.array(self.actor_root_body, np.int32),
             num_actors=self._cur_actor + 1,
-            sensor_body=np.array(self.sensors, np.int32),
+            sensor_body=np.array([b for b, _ in self.sensors], np.int32),
+            sensor_pos=(np.stack([p for _, p in self.sensors])
+                        if self.sensors else np.zeros((0, 3))),
             actuator_dof=act_dof,
             actuator_gear=np.array(self.actuator_gear, np.float64),
             init_qpos=None,

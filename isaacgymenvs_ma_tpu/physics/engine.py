@@ -97,7 +97,10 @@ class PhysicsEngine:
     """Compiled-once physics stepper for one scene replicated over N envs."""
 
     def __init__(self, model: md.SceneModel, params: SimParams,
-                 ground: bool = True):
+                 ground: bool = True, pair_specs=None, attractors=None):
+        """``pair_specs``: list of (geom_a, geom_b) collision pairs — candidate
+        points of geom_a against the SDF of geom_b (ball-vs-tray, cube-vs-hand,
+        corner-vs-table...).  Static, fixed-shape narrowphase."""
         self.model = model
         self.params = params
         self.ground = ground
@@ -168,7 +171,8 @@ class PhysicsEngine:
 
         # contact candidate points from geoms: (body, offset(3) body frame, radius)
         pts_body, pts_off, pts_rad, pts_mu = [], [], [], []
-        for g in m.geoms:
+        geom_pts = {}
+        for gi, g in enumerate(m.geoms):
             if not g.contact:
                 continue
             Rg = md._quat_to_mat_np(g.quat)
@@ -186,12 +190,14 @@ class PhysicsEngine:
                 r = 0.0
             else:
                 continue
+            geom_pts[gi] = list(range(len(pts_body), len(pts_body) + len(cands)))
             for c in cands:
                 pts_body.append(g.body)
                 pts_off.append(g.pos + Rg @ c)
                 pts_rad.append(r)
                 pts_mu.append(g.friction)
         self.n_pts = len(pts_body)
+        self.geom_pts = geom_pts
         if self.n_pts:
             self.pts_body = np.array(pts_body, np.int32)
             self.pts_off = f32(np.stack(pts_off))
@@ -200,7 +206,48 @@ class PhysicsEngine:
             # (nv, n_pts) dof-ancestor mask for contact jacobians
             self.pts_dof_mask = f32(np.asarray(m.dof_body_mask)[:, self.pts_body])
         self.sensor_body = np.asarray(m.sensor_body)
+        self.sensor_pos = f32(m.sensor_pos) if len(m.sensor_body) else f32(np.zeros((0, 3)))
         self.actor_root_body = np.asarray(m.actor_root_body)
+
+        # body-pair contacts: points of geom A vs SDF of geom B
+        self.pairs = []
+        dbm = np.asarray(m.dof_body_mask, np.float32)  # (nv, nb)
+        for (ga, gb) in (pair_specs or []):
+            gA, gB = m.geoms[ga], m.geoms[gb]
+            idx = np.asarray(geom_pts[ga], np.int32)
+            row_mask = dbm[:, self.pts_body[idx]].T - dbm[:, gB.body][None, :]
+            self.pairs.append(dict(
+                pt_idx=idx,
+                tgt_body=int(gB.body),
+                tgt_type=int(gB.gtype),
+                tgt_size=f32(gB.size),
+                tgt_pos=f32(gB.pos),
+                tgt_quat=f32(gB.quat),
+                mu=float(0.5 * (gA.friction + gB.friction)),
+                row_mask=f32(row_mask),          # (k, nv) signed
+            ))
+        self.n_pair_rows = sum(len(p["pt_idx"]) for p in self.pairs)
+        # static contact-row body attribution (A gets +f, B gets -f; -1 = world)
+        ra, rb = [], []
+        if ground and self.n_pts:
+            ra.extend(self.pts_body.tolist())
+            rb.extend([-1] * self.n_pts)
+        for p_ in self.pairs:
+            ra.extend(self.pts_body[p_["pt_idx"]].tolist())
+            rb.extend([p_["tgt_body"]] * len(p_["pt_idx"]))
+        self.row_body_a = np.asarray(ra, np.int32)
+        self.row_body_b = np.asarray(rb, np.int32)
+
+        # attractors: soft-pin a body point to a world point (translation axes)
+        # — gymapi.create_rigid_body_attractor, solved as bilateral rows
+        self.attractors = []
+        for (ab, offset, target) in (attractors or []):
+            self.attractors.append(dict(
+                body=int(ab),
+                offset=f32(offset),
+                target=f32(target),
+                mask=f32(dbm[:, ab]),
+            ))
 
         self.gravity = f32(params.gravity)
         self.h = params.dt / params.substeps
@@ -408,7 +455,7 @@ class PhysicsEngine:
         # ---------------- unilateral constraints (contacts + joint limits)
         impulse_pts = None
         imp_dof = jnp.zeros_like(qd_new)
-        if self.ground and self.n_pts:
+        if (self.ground and self.n_pts) or self.pairs:
             qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain)
         else:
@@ -422,6 +469,88 @@ class PhysicsEngine:
         # ---------------- integrate
         q_new = self._integrate(q, qd_new)
         return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w, imp_dof)
+
+    @staticmethod
+    def _sdf_local(gtype: int, size, p):
+        """Signed distance + outward normal of a primitive at local point(s) p."""
+        eps = 1e-9
+        if gtype == md.GEOM_SPHERE:
+            r = jnp.linalg.norm(p, axis=-1, keepdims=True)
+            n = p / jnp.maximum(r, eps)
+            return r[..., 0] - size[0], n
+        if gtype == md.GEOM_CAPSULE:
+            z = jnp.clip(p[..., 2:3], -size[1], size[1])
+            d = p - jnp.concatenate([jnp.zeros_like(z), jnp.zeros_like(z), z], -1)
+            r = jnp.linalg.norm(d, axis=-1, keepdims=True)
+            n = d / jnp.maximum(r, eps)
+            return r[..., 0] - size[0], n
+        if gtype == md.GEOM_CYLINDER:
+            rad = jnp.linalg.norm(p[..., :2], axis=-1)
+            a = rad - size[0]                      # radial distance to side
+            b = jnp.abs(p[..., 2]) - size[1]       # axial distance to cap
+            outside = jnp.sqrt(jnp.square(jnp.maximum(a, 0)) + jnp.square(jnp.maximum(b, 0)))
+            dist = jnp.minimum(jnp.maximum(a, b), 0.0) + outside
+            radial_n = p[..., :2] / jnp.maximum(rad, eps)[..., None]
+            cap_n = jnp.sign(p[..., 2])
+            use_cap = b > a
+            n = jnp.where(
+                use_cap[..., None],
+                jnp.concatenate([jnp.zeros_like(radial_n),
+                                 cap_n[..., None]], -1),
+                jnp.concatenate([radial_n, jnp.zeros_like(cap_n)[..., None]], -1))
+            return dist, n
+        if gtype == md.GEOM_BOX:
+            qv = jnp.abs(p) - size
+            outside = jnp.linalg.norm(jnp.maximum(qv, 0.0), axis=-1)
+            inside = jnp.minimum(jnp.max(qv, axis=-1), 0.0)
+            dist = outside + inside
+            # gradient: positive part outside; deepest face inside
+            n_out = jnp.maximum(qv, 0.0) * jnp.sign(p)
+            face = jax.nn.one_hot(jnp.argmax(qv, axis=-1), 3, dtype=p.dtype)
+            n_in = face * jnp.sign(p)
+            n = jnp.where((outside > 0)[..., None],
+                          n_out / jnp.maximum(outside, eps)[..., None], n_in)
+            return dist, n
+        raise ValueError(f"no SDF for geom type {gtype}")
+
+    @staticmethod
+    def _tangent_frame(n):
+        """Build (t1, t2, n) columns (..., 3, 3) from normals (..., 3)."""
+        ref = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
+                        jnp.broadcast_to(jnp.array([0.0, 0, 1], n.dtype), n.shape),
+                        jnp.broadcast_to(jnp.array([1.0, 0, 0], n.dtype), n.shape))
+        t1 = jnp.cross(n, ref)
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+        t2 = jnp.cross(n, t1)
+        return jnp.stack([t1, t2, n], axis=-1)
+
+    def _pair_rows(self, body_x, body_q):
+        """Narrowphase for body-pair contacts: (p, phi, mu, row_mask, n)."""
+        ps, phis, mus, masks, ns = [], [], [], [], []
+        for pr_ in self.pairs:
+            idx = pr_["pt_idx"]
+            xb = body_x[:, self.pts_body[idx]]
+            qb = body_q[:, self.pts_body[idx]]
+            p = xb + maths.quat_apply(qb, self.pts_off[idx])
+            tb = pr_["tgt_body"]
+            x_t = body_x[:, tb, None, :] + maths.quat_apply(
+                body_q[:, tb, None, :], pr_["tgt_pos"])
+            q_t = maths.quat_mul(body_q[:, tb, None, :],
+                                 jnp.broadcast_to(pr_["tgt_quat"], qb.shape))
+            lp = maths.quat_rotate_inverse(q_t, p - x_t)
+            d, n_l = self._sdf_local(pr_["tgt_type"], pr_["tgt_size"], lp)
+            n_w = maths.quat_apply(q_t, n_l)
+            rad = self.pts_rad[idx]
+            phi = d - rad
+            p_c = p - rad[None, :, None] * n_w
+            ps.append(p_c)
+            phis.append(phi)
+            mus.append(jnp.full((len(idx),), pr_["mu"], body_x.dtype))
+            masks.append(pr_["row_mask"])
+            ns.append(n_w)
+        return (jnp.concatenate(ps, 1), jnp.concatenate(phis, 1),
+                jnp.concatenate(mus, 0), jnp.concatenate(masks, 0),
+                jnp.concatenate(ns, 1))
 
     def _contact_point_jacobian(self, body_x, body_q, S):
         """World positions p (N, n_pts, 3) and J (N, n_pts, nv, 3)."""
@@ -438,12 +567,33 @@ class PhysicsEngine:
         """Projected-Jacobi impulse solve for plane contacts + joint limits."""
         pr = self.params
         h = self.h
-        p, J = self._contact_point_jacobian(body_x, body_q, S)
-        if terrain is None:
-            ground_z = jnp.zeros(p.shape[:-1], p.dtype)
+        # ---- ground rows
+        if self.ground:
+            p, J = self._contact_point_jacobian(body_x, body_q, S)
+            if terrain is None:
+                ground_z = jnp.zeros(p.shape[:-1], p.dtype)
+            else:
+                ground_z = terrain.height_at(p[..., 0], p[..., 1])
+            phi = p[..., 2] - self.pts_rad - ground_z          # (N, P)
+            mu = self.pts_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
         else:
-            ground_z = terrain.height_at(p[..., 0], p[..., 1])
-        phi = p[..., 2] - self.pts_rad - ground_z              # (N, P)
+            p = J = phi = mu = None
+        # ---- body-pair rows (frame-projected)
+        if self.pairs:
+            pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q)
+            S_ang = S[:, None, :, 0:3]
+            S_lin = S[:, None, :, 3:6]
+            Jp = S_lin + _cross(S_ang, pp[:, :, None, :])
+            Jp = Jp * pmask[None, :, :, None]      # pmask is (K, nv) signed
+            frame = self._tangent_frame(pn)                    # (N, K, 3, 3)
+            Jp = jnp.einsum("nkvc,nkcl->nkvl", Jp, frame)
+            if phi is None:
+                p, J, phi, mu = pp, Jp, pphi, pmu
+            else:
+                p = jnp.concatenate([p, pp], 1)
+                J = jnp.concatenate([J, Jp], 1)
+                phi = jnp.concatenate([phi, pphi], 1)
+                mu = jnp.concatenate([mu, pmu], 0)
         active = phi < 0.0
 
         HinvJ = jnp.einsum("nvw,npwk->npvk", Hinv, J)          # (N, P, nv, 3)
@@ -451,7 +601,6 @@ class PhysicsEngine:
         w_diag = jnp.maximum(jnp.einsum("npkk->npk", W), 1e-8)
 
         b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
-        mu = self.pts_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
 
         # joint limit rows
         lo_gap = qpos_dof - self.dof_lower                     # >= 0 when inside
@@ -467,10 +616,35 @@ class PhysicsEngine:
         lam_lo = jnp.zeros_like(qd)
         lam_hi = jnp.zeros_like(qd)
 
+        if self.attractors:
+            att_p, att_J, att_b, att_wd = [], [], [], []
+            S_ang = S[:, None, :, 0:3]
+            S_lin = S[:, None, :, 3:6]
+            for a in self.attractors:
+                pa = (body_x[:, a["body"]]
+                      + maths.quat_apply(body_q[:, a["body"]], a["offset"]))[:, None]
+                Ja = (S_lin + _cross(S_ang, pa[:, :, None, :])) * a["mask"][None, None, :, None]
+                att_p.append(pa)
+                att_J.append(Ja)
+                att_b.append(-pr.baumgarte / h * (pa - a["target"]))
+            att_J = jnp.concatenate(att_J, 1)                  # (N, A, nv, 3)
+            att_b = jnp.concatenate(att_b, 1)                  # (N, A, 3)
+            att_HJ = jnp.einsum("nvw,nawk->navk", Hinv, att_J)
+            att_W = jnp.maximum(
+                jnp.einsum("navk,navk->nak", att_J, att_HJ), 1e-8)
+            lam_att = jnp.zeros(att_b.shape, qd.dtype)
+        else:
+            att_J = att_HJ = att_W = att_b = lam_att = None
+
         relax = pr.relaxation
 
         def body_fn(carry, _):
-            qd_c, lam, lam_lo, lam_hi = carry
+            qd_c, lam, lam_lo, lam_hi, lam_att = carry
+            if lam_att is not None:
+                v_att = jnp.einsum("navk,nv->nak", att_J, qd_c)
+                dl_att = relax * (att_b - v_att) / att_W
+                lam_att = lam_att + dl_att
+                qd_c = qd_c + jnp.einsum("navk,nak->nv", att_HJ, dl_att)
             v_c = jnp.einsum("npvk,nv->npk", J, qd_c)
             # normal
             dv_n = b_n - v_c[..., 2]
@@ -492,12 +666,21 @@ class PhysicsEngine:
                 act_hi, jnp.maximum(lam_hi + relax * (b_hi + qd_c2) / hinv_diag, 0.0), 0.0)
             dlim = (lam_lo_new - lam_lo) - (lam_hi_new - lam_hi)
             qd_c2 = qd_c2 + jnp.einsum("nvw,nw->nv", Hinv, dlim)
-            return (qd_c2, lam_new, lam_lo_new, lam_hi_new), None
+            return (qd_c2, lam_new, lam_lo_new, lam_hi_new, lam_att), None
 
-        (qd, lam, lam_lo, lam_hi), _ = jax.lax.scan(
-            body_fn, (qd, lam, lam_lo, lam_hi), None, length=self.params.num_iterations)
+        (qd, lam, lam_lo, lam_hi, lam_att), _ = jax.lax.scan(
+            body_fn, (qd, lam, lam_lo, lam_hi, lam_att), None,
+            length=self.params.num_iterations)
         imp_dof = jnp.einsum("npvk,npk->nv", J, lam) + (lam_lo - lam_hi)
-        return qd, lam, p, imp_dof
+        # world-frame impulse vectors per row (ground rows are world-aligned)
+        if self.pairs:
+            kg = lam.shape[1] - frame.shape[1]
+            lam_pairs_w = jnp.einsum("nkcl,nkl->nkc", frame, lam[:, kg:])
+            imp_world = jnp.concatenate([lam[:, :kg], lam_pairs_w], 1) \
+                if kg else lam_pairs_w
+        else:
+            imp_world = lam
+        return qd, imp_world, p, imp_dof
 
     def _limit_solve(self, qd, Hinv, qpos_dof):
         """Joint-limit-only solve for contact-free scenes (e.g. Cartpole)."""
@@ -589,21 +772,34 @@ class PhysicsEngine:
         # per-body linear velocity at body origin: v_o + w x x_b
         w = V[..., 0:3]
         v_lin = V[..., 3:6] + _cross(w, body_x)
-        # net contact force per body (sum impulses / dt)
+        # net contact force per body (sum impulses / dt; +f on A, -f on B)
         contact_force = jnp.zeros((N, self.nb, 3), f32)
         sensor_forces = jnp.zeros((N, len(self.sensor_body), 6), f32)
-        if impulses is not None and self.n_pts:
-            force_pts = impulses / self.params.dt               # world frame
-            seg = jax.nn.one_hot(self.pts_body, self.nb, dtype=f32)  # (P, nb)
-            contact_force = jnp.einsum("npk,pb->nbk", force_pts, seg)
+        if impulses is not None and len(self.row_body_a):
+            force_rows = impulses / self.params.dt              # world frame
+            seg_a = jax.nn.one_hot(self.row_body_a, self.nb, dtype=f32)  # (C, nb)
+            seg_b = jax.nn.one_hot(jnp.where(self.row_body_b >= 0,
+                                             self.row_body_b, self.nb),
+                                   self.nb + 1, dtype=f32)[:, : self.nb]
+            seg = seg_a - seg_b
+            contact_force = jnp.einsum("npk,pb->nbk", force_rows, seg)
             if len(self.sensor_body):
-                # wrench about body origin, rotated into body frame
-                xb = body_x[:, self.pts_body]
-                torque_pts = _cross(p_w - xb, force_pts)
-                sens = jax.nn.one_hot(self.pts_body, self.nb, dtype=f32)[:, self.sensor_body]
-                f_b = jnp.einsum("npk,ps->nsk", force_pts, sens)
-                n_b = jnp.einsum("npk,ps->nsk", torque_pts, sens)
+                # wrench about each sensor point, rotated into body frame.
+                # torque about sensor = torque about body origin
+                #                      - (p_sensor - origin) x F_total
+                xa = body_x[:, self.row_body_a]
+                xb2 = body_x[:, jnp.maximum(self.row_body_b, 0)]
+                tq_a = _cross(p_w - xa, force_rows)
+                tq_b = _cross(p_w - xb2, force_rows)
+                sens_a = seg_a[:, self.sensor_body]
+                sens_b = seg_b[:, self.sensor_body]
+                f_b = jnp.einsum("npk,ps->nsk", force_rows, sens_a) \
+                    - jnp.einsum("npk,ps->nsk", force_rows, sens_b)
+                n_o = jnp.einsum("npk,ps->nsk", tq_a, sens_a) \
+                    - jnp.einsum("npk,ps->nsk", tq_b, sens_b)
                 qs = body_q[:, self.sensor_body]
+                r_s = maths.quat_apply(qs, self.sensor_pos)
+                n_b = n_o - _cross(r_s, f_b)
                 f_loc = maths.quat_rotate_inverse(qs, f_b)
                 n_loc = maths.quat_rotate_inverse(qs, n_b)
                 sensor_forces = jnp.concatenate([f_loc, n_loc], axis=-1)

@@ -66,6 +66,8 @@ class VecTaskBase:
     """Holds static config + compiled model; all step logic is pure."""
 
     dict_obs_cls = False
+    # BallBalance resets in pre_physics_step (ball_balance.py:407-412)
+    reset_in_pre_physics = False
 
     def __init__(self, cfg: dict):
         self.cfg = cfg
@@ -84,7 +86,7 @@ class VecTaskBase:
         self.terrain = None
         model, ground = self.create_model()
         self.model = model
-        self.engine = PhysicsEngine(model, self.sim_params, ground=ground)
+        self.engine = self.build_engine(model, ground)
         self.rl_games_batch = self.num_envs * self.num_agents
 
     # ------------------------------------------------------------------
@@ -92,6 +94,10 @@ class VecTaskBase:
     def create_model(self):
         """Return (SceneModel, ground: bool). Replaces create_sim/_create_envs."""
         raise NotImplementedError
+
+    def build_engine(self, model, ground: bool) -> PhysicsEngine:
+        """Override to pass pair_specs / attractors to the engine."""
+        return PhysicsEngine(model, self.sim_params, ground=ground)
 
     def initial_task_state(self) -> Any:
         return None
@@ -129,6 +135,11 @@ class VecTaskBase:
         key, k_reset, k_step = jax.random.split(state.rng, 3)
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
+        reset_mask = state.reset_buf > 0
+        if self.reset_in_pre_physics:
+            sim, task = self.reset_idx(state.sim, state.task, reset_mask, k_reset)
+            state = state._replace(sim=sim, task=task)
+
         ctrl = self.pre_physics(state, actions)
         sim = state.sim
         out = None
@@ -137,8 +148,9 @@ class VecTaskBase:
 
         # ---- post physics (ant.py:287-297 ordering) ----
         progress = state.progress + 1
-        reset_mask = state.reset_buf > 0
-        sim, task = self.reset_idx(sim, state.task, reset_mask, k_reset)
+        task = state.task
+        if not self.reset_in_pre_physics:
+            sim, task = self.reset_idx(sim, task, reset_mask, k_reset)
         progress = jnp.where(reset_mask, 0, progress)
         # refresh readouts so reset envs observe their fresh state
         out = self.engine.forward(sim, prev_out=out)
