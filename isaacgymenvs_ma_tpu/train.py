@@ -1,0 +1,153 @@
+"""CLI entry point (reference train.py): ``python -m isaacgymenvs_ma_tpu.train
+task=Ant num_envs=4096 train.params.config.max_epochs=500 ...``.
+
+Hydra-grammar dotted overrides on the same config surfaces as the reference
+(global flags from cfg/config.yaml, ``task.*`` -> cfg/task/<T>.yaml,
+``train.*`` -> cfg/train/<T>PPO.yaml).  ``test=True checkpoint=...`` runs the
+player path; ``multi_gpu``/host sharding happens automatically over all
+visible devices (the torchrun/DDP replacement — SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime
+
+import jax
+
+
+def _split_overrides(argv):
+    global_ov, task_ov, train_ov = [], [], []
+    for a in argv:
+        if "=" not in a:
+            continue
+        key = a.lstrip("+")
+        if key.startswith("task."):
+            task_ov.append(a.split(".", 1)[1])
+        elif key.startswith("train."):
+            train_ov.append(a.split(".", 1)[1])
+        else:
+            global_ov.append(a)
+    return global_ov, task_ov, train_ov
+
+
+def launch(argv=None):
+    from .learning.configs import train_default_config  # noqa: F401
+    from .learning.ppo import PPOAgent
+    from .learning import checkpoint as ckpt
+    from .parallel import mesh as pmesh
+    from .tasks import registry
+    from .utils.config import (GLOBAL_DEFAULTS, apply_overrides,
+                               load_task_config, load_train_config,
+                               resolve_default, print_dict)
+    from .utils.observers import MultiObserver, TensorboardObserver, WandbObserver
+    from .ops.rng import make_seed
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    global_ov, task_ov, train_ov = _split_overrides(argv)
+    cfg = apply_overrides(dict(GLOBAL_DEFAULTS), global_ov)
+
+    task_name = cfg.get("task", cfg.get("task_name", "Cartpole"))
+    if isinstance(task_name, dict):
+        task_name = task_name.get("name", "Cartpole")
+    if cfg.get("num_envs"):
+        task_ov = [f"env.numEnvs={cfg['num_envs']}"] + task_ov
+    task_cfg = load_task_config(task_name, task_ov)
+    train_cfg = load_train_config(task_name, train_ov)
+    if cfg.get("max_iterations"):
+        train_cfg["params"]["config"]["max_epochs"] = int(cfg["max_iterations"])
+
+    seed = make_seed(int(cfg.get("seed", 42)),
+                     rank=jax.process_index(),
+                     deterministic=bool(cfg.get("torch_deterministic", False)))
+
+    print(f"task: {task_name}  envs: {task_cfg['env']['numEnvs']}  seed: {seed}  "
+          f"devices: {jax.device_count()}")
+    task = registry.create_task(task_name, task_cfg, seed=seed,
+                                headless=bool(cfg.get("headless", True)))
+    agent = PPOAgent(task, train_cfg, seed=seed)
+
+    exp_name = resolve_default(
+        train_cfg["params"]["config"].get("name", task_name),
+        cfg.get("experiment"))
+    run_dir = os.path.join("runs", f"{exp_name}_{datetime.now():%d-%H-%M-%S}")
+    nn_dir = os.path.join(run_dir, "nn")
+
+    observers = [TensorboardObserver(os.path.join(run_dir, "summaries"))]
+    if cfg.get("wandb_activate") and jax.process_index() == 0:
+        observers.append(WandbObserver(
+            project=cfg.get("wandb_project", "isaacgymenvs_ma_tpu"),
+            group=cfg.get("wandb_group", ""), name=cfg.get("wandb_name", exp_name),
+            entity=cfg.get("wandb_entity", ""), tags=cfg.get("wandb_tags", [])))
+    observer = MultiObserver(*observers)
+
+    state = agent.init()
+    if jax.device_count() > 1:
+        m = pmesh.make_mesh()
+        state = pmesh.shard_batch_pytree(
+            state, m, batch_sizes=(task.num_envs, task.rl_games_batch))
+
+    if cfg.get("checkpoint"):
+        state, env_extra, meta = ckpt.load_checkpoint(cfg["checkpoint"], state)
+        print(f"restored checkpoint {cfg['checkpoint']} (meta {meta})")
+
+    if cfg.get("test"):
+        return _play(task, agent, state, cfg)
+
+    pcfg = agent.cfg
+    save_freq = pcfg.save_frequency
+    max_epochs = pcfg.max_epochs
+    import time
+    t0 = time.time()
+    for ep in range(1, max_epochs + 1):
+        state, metrics = agent.train_epoch(state)
+        if ep % 20 == 0 or ep == max_epochs:
+            m = {k: float(v) for k, v in metrics.items()}
+            fps = m["frames"] / max(time.time() - t0, 1e-9)
+            print(f"epoch {ep}/{max_epochs} reward {m['mean_return']:.2f} "
+                  f"len {m['mean_length']:.0f} kl {m['kl']:.4f} fps {fps:,.0f}")
+            observer.after_print_stats(ep, m)
+            if m["mean_return"] >= pcfg.score_to_win:
+                print("score_to_win reached")
+                break
+        if save_freq and ep % save_freq == 0 and jax.process_index() == 0:
+            ckpt.save_checkpoint(
+                os.path.join(nn_dir, f"{exp_name}.ckpt"), state,
+                env_state_extra=task.get_env_state(state.env_state),
+                meta={"epoch": ep})
+    if jax.process_index() == 0:
+        ckpt.save_checkpoint(os.path.join(nn_dir, f"{exp_name}.ckpt"), state,
+                             env_state_extra=task.get_env_state(state.env_state),
+                             meta={"epoch": max_epochs})
+        print(f"saved {os.path.join(nn_dir, exp_name + '.ckpt')}")
+    return state
+
+
+def _play(task, agent, state, cfg, num_steps: int = 2000):
+    """Inference loop (rl_games player path — reference train.py:212-217 with
+    {'play': True}; learning/common_player.py:54-152)."""
+    import jax.numpy as jnp
+
+    env_state = state.env_state
+    obs = state.last_obs
+
+    @jax.jit
+    def step(env_state, obs):
+        actions = agent.act(state, obs, deterministic=True)
+        env_state, res = task.step(env_state, actions)
+        return env_state, res.obs, res.rew, res.reset
+
+    total_rew = 0.0
+    games = 0
+    for i in range(num_steps):
+        env_state, obs, rew, reset = step(env_state, obs)
+        total_rew += float(rew.mean())
+        games += int(jnp.sum(reset))
+        if (i + 1) % 200 == 0:
+            print(f"step {i+1}: mean step reward {total_rew/(i+1):.3f}, "
+                  f"episodes finished {games}")
+    return state
+
+
+if __name__ == "__main__":
+    launch()
