@@ -2,9 +2,12 @@
 
 Replaces the URDF import path of the reference's external ``gym.load_asset``
 (Cartpole ``tasks/cartpole.py:87-92``, BallBalance's procedurally generated
-bot ``tasks/ball_balance.py:136-225``, Franka, etc.).  Supports primitive
-geometries (box/sphere/cylinder-as-capsule), revolute/continuous/prismatic/
-fixed/floating joints, ``<dynamics>`` damping, and joint limits.
+bot ``tasks/ball_balance.py:136-225``, Anymal ``tasks/anymal.py:168-183``,
+Franka, etc.).  Supports primitive geometries (box/sphere/cylinder), revolute/
+continuous/prismatic/fixed/floating joints, ``<dynamics>`` damping, joint
+limits, and ``collapseFixedJoints`` (fixed-joint subtrees merged into their
+parent body with transformed mass properties and collisions, matching
+``gymapi.AssetOptions.collapse_fixed_joints``).
 
 PhysX derives missing inertia tensors from the collision shapes scaled to the
 given mass; we reproduce that (the cartpole URDF gives masses but no inertia).
@@ -18,8 +21,9 @@ from typing import Dict, Optional
 import numpy as np
 
 from .model import (
-    FIXED, FREE, GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, HINGE, SLIDE,
-    ModelBuilder, SceneModel, geom_mass_props, _quat_mul_np, _quat_to_mat_np,
+    FIXED, FREE, GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE, HINGE,
+    SLIDE, ModelBuilder, SceneModel, geom_mass_props, _quat_mul_np,
+    _quat_to_mat_np,
 )
 
 
@@ -51,6 +55,11 @@ def _origin(elem) -> tuple:
     return xyz, _rpy_to_quat(rpy)
 
 
+def _tf(pos_a, quat_a, pos_b, quat_b):
+    """Compose transforms: T_a * T_b."""
+    return pos_a + _quat_to_mat_np(quat_a) @ pos_b, _quat_mul_np(quat_a, quat_b)
+
+
 _JTYPES = {
     "revolute": HINGE,
     "continuous": HINGE,
@@ -60,26 +69,27 @@ _JTYPES = {
 }
 
 
-def _parse_geometry(geom_elem):
-    """Return (gtype, size) for a URDF <geometry> element, or None."""
+def _parse_geometry(geom_elem, use_capsules: bool):
     for g in geom_elem:
         if g.tag == "box":
             return GEOM_BOX, _floats(g.get("size")) / 2.0
         if g.tag == "sphere":
             return GEOM_SPHERE, np.array([float(g.get("radius")), 0.0, 0.0])
         if g.tag == "cylinder":
-            # approximate cylinders by capsules of equal radius/length
             r = float(g.get("radius"))
             l = float(g.get("length"))
-            return GEOM_CAPSULE, np.array([r, max(l / 2.0 - r, 1e-4), 0.0])
+            if use_capsules:
+                return GEOM_CAPSULE, np.array([r, max(l / 2.0 - r, 1e-4), 0.0])
+            return GEOM_CYLINDER, np.array([r, l / 2.0, 0.0])
         if g.tag == "mesh":
-            return None  # mesh collisions are out of scope for the contact tier
+            return None  # mesh collisions: approximated/skipped at this tier
     return None
 
 
 def load_urdf(path_or_text: str, fix_base_link: bool = False,
               base_pos=(0, 0, 0), base_quat=(0, 0, 0, 1),
-              collapse_fixed: bool = False) -> SceneModel:
+              collapse_fixed: bool = False, cylinders_as_capsules: bool = False,
+              density_fallback: float = 1000.0) -> SceneModel:
     if path_or_text.lstrip().startswith("<"):
         text = path_or_text
     else:
@@ -88,10 +98,9 @@ def load_urdf(path_or_text: str, fix_base_link: bool = False,
     root = ET.fromstring(text)
 
     links: Dict[str, ET.Element] = {l.get("name"): l for l in root.findall("link")}
-    joints = root.findall("joint")
-    child_of = {}
-    parent_of = {}
-    for j in joints:
+    child_of: Dict[str, list] = {}
+    parent_of: Dict[str, ET.Element] = {}
+    for j in root.findall("joint"):
         parent = j.find("parent").get("link")
         child = j.find("child").get("link")
         child_of.setdefault(parent, []).append(j)
@@ -101,70 +110,59 @@ def load_urdf(path_or_text: str, fix_base_link: bool = False,
 
     b = ModelBuilder()
     b.begin_actor()
-    link_idx: Dict[str, int] = {}
 
-    def add_link_body(name: str, parent_idx: int, jtype: int, jaxis, jpos, body_pos, body_quat,
-                      lo=None, hi=None, damping=0.0, effort=1e9, velocity=1e9):
+    def attach_link(name: str, body_idx: int, off_pos, off_quat):
+        """Add link `name`'s collisions + inertial into body_idx at offset."""
         elem = links[name]
-        idx = b.add_body(
-            name, parent_idx, jtype, jnt_axis=jaxis, jnt_pos=jpos,
-            body_pos=body_pos, body_quat=body_quat,
-            limit_lower=lo, limit_upper=hi, damping=damping,
-            effort_limit=effort, velocity_limit=velocity,
-        )
-        link_idx[name] = idx
-        # collision geoms
-        collisions = elem.findall("collision")
         geom_descrs = []
-        for c in collisions:
-            parsed = _parse_geometry(c.find("geometry"))
+        for c in elem.findall("collision"):
+            parsed = _parse_geometry(c.find("geometry"), cylinders_as_capsules)
             if parsed is None:
                 continue
             gtype, size = parsed
             pos, quat = _origin(c)
-            geom_descrs.append((gtype, size, pos, quat))
-            b.add_geom(idx, gtype, size, pos, quat, density=None)
-        # mass properties
+            gp, gq = _tf(off_pos, off_quat, pos, quat)
+            geom_descrs.append((gtype, size, gp, gq))
+            b.add_geom(body_idx, gtype, size, gp, gq, density=None)
         inertial = elem.find("inertial")
         if inertial is not None:
             mass = float(inertial.find("mass").get("value"))
             ipos, iquat = _origin(inertial)
+            ipos, iquat = _tf(off_pos, off_quat, ipos, iquat)
             itag = inertial.find("inertia")
             if itag is not None:
                 ixx = float(itag.get("ixx", 0)); iyy = float(itag.get("iyy", 0))
                 izz = float(itag.get("izz", 0)); ixy = float(itag.get("ixy", 0))
                 ixz = float(itag.get("ixz", 0)); iyz = float(itag.get("iyz", 0))
                 I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
-                R = _quat_to_mat_np(iquat)
-                b.set_body_mass(idx, mass, com=ipos, inertia=R @ I @ R.T)
-            else:
+                b._accumulate_inertia(body_idx, mass, np.zeros(3), I, ipos, iquat)
+            elif geom_descrs:
                 # derive from collision shapes, scaled to the given mass
-                m0 = 0.0
-                parts = []
+                m0, parts = 0.0, []
                 for gtype, size, pos, quat in geom_descrs:
-                    m, c, i = geom_mass_props(gtype, size, 1.0)
-                    parts.append((m, pos + _quat_to_mat_np(quat) @ c,
-                                  _quat_to_mat_np(quat) @ i @ _quat_to_mat_np(quat).T))
-                    m0 += m
+                    mm, cc, ii = geom_mass_props(gtype, size, 1.0)
+                    R = _quat_to_mat_np(quat)
+                    parts.append((mm, pos + R @ cc, R @ ii @ R.T))
+                    m0 += mm
                 if m0 > 0:
-                    s = mass / m0
-                    com = sum(m * c for m, c, _ in parts) / m0
-                    # inertia about combined com, then offset by inertial origin
-                    I = np.zeros((3, 3))
-                    for m, c, i in parts:
-                        d = c - com
-                        I += s * (i + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d)))
-                    b.set_body_mass(idx, mass, com=com + ipos, inertia=I)
-                else:
-                    b.set_body_mass(idx, mass, com=ipos,
-                                    inertia=np.eye(3) * (2.0 / 5.0) * mass * 0.01)
-        return idx
+                    scl = mass / m0
+                    for mm, cc, ii in parts:
+                        b._accumulate_inertia(body_idx, mm * scl, np.zeros(3),
+                                              ii * scl, cc, np.array([0.0, 0, 0, 1]))
+            else:
+                b._accumulate_inertia(body_idx, mass, np.zeros(3),
+                                      np.eye(3) * 0.4 * mass * 1e-4, ipos, iquat)
 
-    def recurse(name: str, parent_idx: int):
+    def recurse(name: str, body_idx: int, off_pos, off_quat):
         for j in child_of.get(name, []):
             child = j.find("child").get("link")
             jtype = _JTYPES[j.get("type")]
-            body_pos, body_quat = _origin(j)
+            o_pos, o_quat = _origin(j)
+            j_pos, j_quat = _tf(off_pos, off_quat, o_pos, o_quat)
+            if jtype == FIXED and collapse_fixed:
+                attach_link(child, body_idx, j_pos, j_quat)
+                recurse(child, body_idx, j_pos, j_quat)
+                continue
             ax = j.find("axis")
             jaxis = _floats(ax.get("xyz")) if ax is not None else np.array([1.0, 0, 0])
             n = np.linalg.norm(jaxis)
@@ -183,13 +181,18 @@ def load_urdf(path_or_text: str, fix_base_link: bool = False,
                 lo = hi = None
             dyn = j.find("dynamics")
             damping = float(dyn.get("damping", 0)) if dyn is not None else 0.0
-            cidx = add_link_body(child, parent_idx, jtype, jaxis, np.zeros(3),
-                                 body_pos, body_quat, lo, hi, damping, effort, velocity)
-            recurse(child, cidx)
+            cidx = b.add_body(child, body_idx, jtype, jnt_axis=jaxis,
+                              body_pos=j_pos, body_quat=j_quat,
+                              limit_lower=lo, limit_upper=hi, damping=damping,
+                              effort_limit=effort, velocity_limit=velocity)
+            attach_link(child, cidx, np.zeros(3), np.array([0.0, 0, 0, 1]))
+            recurse(child, cidx, np.zeros(3), np.array([0.0, 0, 0, 1]))
 
     root_name = roots[0]
-    root_jtype = FIXED if fix_base_link else FREE
-    ridx = add_link_body(root_name, -1, root_jtype, np.array([0.0, 0, 1]), np.zeros(3),
-                         np.asarray(base_pos, np.float64), np.asarray(base_quat, np.float64))
-    recurse(root_name, ridx)
+    ridx = b.add_body(root_name, -1, FIXED if fix_base_link else FREE,
+                      jnt_axis=np.array([0.0, 0, 1]),
+                      body_pos=np.asarray(base_pos, np.float64),
+                      body_quat=np.asarray(base_quat, np.float64))
+    attach_link(root_name, ridx, np.zeros(3), np.array([0.0, 0, 0, 1]))
+    recurse(root_name, ridx, np.zeros(3), np.array([0.0, 0, 0, 1]))
     return b.finalize()

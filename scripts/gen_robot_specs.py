@@ -11,6 +11,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from isaacgymenvs_ma_tpu.models.mjcf import load_mjcf
+from isaacgymenvs_ma_tpu.models.urdf import load_urdf
 from isaacgymenvs_ma_tpu.models.model import model_to_spec
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "isaacgymenvs_ma_tpu", "models", "specs")
@@ -18,6 +19,12 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "isaacgymenvs_ma_tpu", "mode
 ASSETS = {
     "humanoid": "/root/reference/assets/mjcf/nv_humanoid.xml",
     "amp_humanoid": "/root/reference/assets/mjcf/amp_humanoid.xml",
+}
+
+URDF_ASSETS = {
+    # collapse_fixed mirrors Anymal's asset options (tasks/anymal.py:171-181)
+    "anymal": ("/root/reference/assets/urdf/anymal_c/urdf/anymal.urdf",
+               dict(collapse_fixed=True)),
 }
 
 TEMPLATE = '''"""Auto-generated robot spec ({name}) — produced by scripts/gen_robot_specs.py.
@@ -40,6 +47,15 @@ def main():
         m = load_mjcf(path)
         spec = model_to_spec(m)
         text = TEMPLATE.format(name=name, spec=repr(spec))
+        with open(os.path.join(OUT, f"{name}.py"), "w") as f:
+            f.write(text)
+        print(f"wrote {name}: nb={m.nb} nv={m.nv} geoms={len(m.geoms)}")
+    for name, (path, opts) in URDF_ASSETS.items():
+        if not os.path.exists(path):
+            print(f"skip {name}: {path} not found")
+            continue
+        m = load_urdf(path, **opts)
+        text = TEMPLATE.format(name=name, spec=repr(model_to_spec(m)))
         with open(os.path.join(OUT, f"{name}.py"), "w") as f:
             f.write(text)
         print(f"wrote {name}: nb={m.nb} nv={m.nv} geoms={len(m.geoms)}")
