@@ -500,3 +500,75 @@ def model_from_spec(spec: dict) -> SceneModel:
     if kw.get("init_qpos") is not None and not isinstance(kw["init_qpos"], np.ndarray):
         kw["init_qpos"] = np.asarray(kw["init_qpos"], np.float64)
     return SceneModel(**kw)
+
+
+def compose_scene(parts) -> SceneModel:
+    """Compose several finalized models into one scene (the create_actor loop).
+
+    ``parts``: list of (SceneModel, base_pos(3), base_quat(4) xyzw).  Each
+    part's root bodies are re-rooted at the given world transform; fixed-base
+    actors get the transform folded into their root body frame, free-base
+    actors get it folded into their init_qpos.  Replaces the reference's
+    per-env ``create_actor`` calls (e.g. franka_reach_MA.py:363-422) with a
+    single static description.
+    """
+    b = ModelBuilder()
+    for m, base_pos, base_quat in parts:
+        base_pos = np.asarray(base_pos, np.float64)
+        base_quat = np.asarray(base_quat, np.float64)
+        b.begin_actor()
+        off = len(b.bodies)
+        q0_src = m.init_qpos if m.init_qpos is not None else default_qpos(m)
+        for i in range(m.nb):
+            nvj = _NV[int(m.jnt_type[i])]
+            parent = int(m.parent[i])
+            bp, bq = m.body_pos[i].copy(), m.body_quat[i].copy()
+            if parent == -1 and m.jnt_type[i] != FREE:
+                bp = base_pos + _quat_to_mat_np(base_quat) @ bp
+                bq = _quat_mul_np(base_quat, bq)
+            v0, v1 = int(m.v_adr[i]), int(m.v_adr[i]) + nvj
+            b.add_body(
+                m.body_names[i],
+                parent + off if parent != -1 else -1,
+                int(m.jnt_type[i]),
+                jnt_axis=m.jnt_axis[i], jnt_pos=m.jnt_pos[i],
+                body_pos=bp, body_quat=bq,
+                mass=float(m.mass[i]), com=m.com[i], inertia=m.inertia[i],
+                limit_lower=m.dof_lower[v0:v1] if nvj else None,
+                limit_upper=m.dof_upper[v0:v1] if nvj else None,
+            )
+            bd = b.bodies[-1]
+            if nvj:
+                bd.damping = m.dof_damping[v0:v1].copy()
+                bd.spring = m.dof_spring[v0:v1].copy()
+                bd.armature = m.dof_armature[v0:v1].copy()
+                bd.effort_limit = m.dof_effort_limit[v0:v1].copy()
+                bd.velocity_limit = m.dof_velocity_limit[v0:v1].copy()
+        for g in m.geoms:
+            b.add_geom(off + g.body, g.gtype, g.size, g.pos, g.quat,
+                       density=None, friction=g.friction, contact=g.contact,
+                       name=g.name)
+        for s in range(len(m.sensor_body)):
+            b.add_force_sensor(off + int(m.sensor_body[s]), m.sensor_pos[s])
+        for a in range(len(m.actuator_dof)):
+            dof = int(m.actuator_dof[a])
+            body = int(m.dof_body[dof])
+            b.add_actuator(off + body, float(m.actuator_gear[a]),
+                           sub_dof=dof - int(m.v_adr[body]))
+    out = b.finalize()
+    # stitch init_qpos (applying base transforms to free roots)
+    q0 = default_qpos(out)
+    adr = 0
+    for m, base_pos, base_quat in parts:
+        src = m.init_qpos if m.init_qpos is not None else default_qpos(m)
+        q0[adr: adr + m.nq] = src
+        for i in range(m.nb):
+            if int(m.parent[i]) == -1 and int(m.jnt_type[i]) == FREE:
+                qa = adr + int(m.q_adr[i])
+                base_pos_a = np.asarray(base_pos, np.float64)
+                base_quat_a = np.asarray(base_quat, np.float64)
+                q0[qa: qa + 3] = base_pos_a + _quat_to_mat_np(base_quat_a) @ src[int(m.q_adr[i]): int(m.q_adr[i]) + 3]
+                q0[qa + 3: qa + 7] = _quat_mul_np(base_quat_a, src[int(m.q_adr[i]) + 3: int(m.q_adr[i]) + 7])
+        adr += m.nq
+    out.init_qpos = q0
+    return out

@@ -206,7 +206,10 @@ class PhysicsEngine:
             # (nv, n_pts) dof-ancestor mask for contact jacobians
             self.pts_dof_mask = f32(np.asarray(m.dof_body_mask)[:, self.pts_body])
         self.sensor_body = np.asarray(m.sensor_body)
-        self.sensor_pos = f32(m.sensor_pos) if len(m.sensor_body) else f32(np.zeros((0, 3)))
+        sp = np.asarray(m.sensor_pos)
+        if sp.shape != (len(self.sensor_body), 3):
+            sp = np.zeros((len(self.sensor_body), 3))
+        self.sensor_pos = f32(sp)
         self.actor_root_body = np.asarray(m.actor_root_body)
 
         # body-pair contacts: points of geom A vs SDF of geom B
@@ -252,6 +255,14 @@ class PhysicsEngine:
         self.gravity = f32(params.gravity)
         self.h = params.dt / params.substeps
 
+        # precomputed one-hot selection matrices (gathers lower poorly on TPU)
+        eye_nb = np.eye(m.nb, dtype=np.float32)
+        self.oh_dof_body = jnp.asarray(eye_nb[np.asarray(m.dof_body)])   # (nv, nb)
+        q2d = np.zeros((m.nv, m.nq), np.float32)
+        for d, qid in zip(self.scalar_dofs, self.scalar_qids):
+            q2d[d, qid] = 1.0
+        self.q_to_dof = jnp.asarray(q2d)                                  # (nv, nq)
+
     # ------------------------------------------------------------------
     # kinematics
     def fk(self, q: jax.Array):
@@ -290,30 +301,33 @@ class PhysicsEngine:
         return jnp.stack(xs, axis=-2), jnp.stack(qs, axis=-2)
 
     def dof_motion(self, body_x, body_q):
-        """Motion subspace S (N, nv, 6) about the world origin: [ang, lin]."""
+        """Motion subspace S (N, nv, 6) about the world origin: [ang, lin].
+
+        Built as a single stack of per-dof columns in dof order — no scatters
+        (TPU gathers/scatters lower poorly; concatenations fuse)."""
         N = body_x.shape[0]
-        S = jnp.zeros((N, self.nv, 6), body_x.dtype)
+        dt = body_x.dtype
+        zero3 = jnp.zeros((N, 3), dt)
+        cols = []
         for b in range(self.nb):
             t = int(self.jnt_type_np[b])
-            va = int(self.v_adr[b])
             if t == md.FREE:
-                e = jnp.eye(3, dtype=body_x.dtype)
-                # linear dofs: pure translation
-                S = S.at[:, va: va + 3, 3:6].set(jnp.broadcast_to(e, (N, 3, 3)))
-                # angular dofs: rotation about axis through body origin
+                e = jnp.eye(3, dtype=dt)
                 p = body_x[:, b]
-                S = S.at[:, va + 3: va + 6, 0:3].set(jnp.broadcast_to(e, (N, 3, 3)))
-                lin = jnp.stack([_cross(p, e[i]) for i in range(3)], axis=1)
-                S = S.at[:, va + 3: va + 6, 3:6].set(lin)
+                for i in range(3):  # linear dofs
+                    ei = jnp.broadcast_to(e[i], (N, 3))
+                    cols.append(jnp.concatenate([zero3, ei], -1))
+                for i in range(3):  # angular dofs about the body origin
+                    ei = jnp.broadcast_to(e[i], (N, 3))
+                    cols.append(jnp.concatenate([ei, _cross(p, ei)], -1))
             elif t == md.HINGE:
                 a_w = maths.quat_apply(body_q[:, b], self.jnt_axis[b])
                 anchor = body_x[:, b] + maths.quat_apply(body_q[:, b], self.jnt_pos[b])
-                S = S.at[:, va, 0:3].set(a_w)
-                S = S.at[:, va, 3:6].set(_cross(anchor, a_w))
+                cols.append(jnp.concatenate([a_w, _cross(anchor, a_w)], -1))
             elif t == md.SLIDE:
                 a_w = maths.quat_apply(body_q[:, b], self.jnt_axis[b])
-                S = S.at[:, va, 3:6].set(a_w)
-        return S
+                cols.append(jnp.concatenate([zero3, a_w], -1))
+        return jnp.stack(cols, axis=1)
 
     def body_velocities(self, S, qd):
         """Spatial velocity [ang, lin@origin] per body: V (N, nb, 6)."""
@@ -371,7 +385,7 @@ class PhysicsEngine:
         """CRBA in world coordinates via ancestor-mask einsums: (N, nv, nv)."""
         # composite inertia: sum of descendants-or-self
         IcC = jnp.einsum("bj,njde->nbde", self.body_anc_f, I_O)
-        IcC_dof = IcC[:, self.dof_body]                        # (N, nv, 6, 6)
+        IcC_dof = jnp.einsum("vb,nbde->nvde", self.oh_dof_body, IcC)
         F = jnp.einsum("nvde,nve->nvd", IcC_dof, S)
         G = jnp.einsum("nid,njd->nij", S, F)
         upper = jnp.where(self.dof_anc, G, 0.0)
@@ -387,13 +401,16 @@ class PhysicsEngine:
         """RNEA with qdd = 0 and a0 = -g: returns C (N, nv)."""
         N = S.shape[0]
         a0 = jnp.concatenate([jnp.zeros(3, S.dtype), -self.gravity]).astype(S.dtype)
-        V_dof = V[:, self.dof_body]                            # (N, nv, 6)
+        V_dof = jnp.einsum("vb,nbd->nvd", self.oh_dof_body, V)
         xi = self._cross_motion(V_dof, S * qd[..., None])      # (N, nv, 6)
         a = a0 + jnp.einsum("nvd,vb->nbd", xi, self.dof_body_mask_f)
         Iv = jnp.einsum("nbde,nbe->nbd", I_O, V)
         f = jnp.einsum("nbde,nbe->nbd", I_O, a) + self._cross_force(V, Iv)
-        f_sub = jnp.einsum("bj,njd->nbd", self.body_anc_f, f)
-        C = jnp.einsum("nvd,nvd->nv", S, f_sub[:, self.dof_body])
+        # C_i = S_i . f_sub[body(i)]; fold the subtree sum and the body gather
+        # into one contraction
+        f_sub_dof = jnp.einsum("vb,bj,njd->nvd", self.oh_dof_body,
+                               self.body_anc_f, f)
+        C = jnp.einsum("nvd,nvd->nv", S, f_sub_dof)
         return C
 
     # ------------------------------------------------------------------
@@ -411,11 +428,7 @@ class PhysicsEngine:
         C = self.bias_force(S, qd, V, I_O)
 
         # scalar joint coordinates (hinge/slide) for springs, limits, drives
-        if len(self.scalar_dofs):
-            qpos_dof = jnp.zeros((N, self.nv), f32).at[:, self.scalar_dofs].set(
-                q[:, self.scalar_qids])
-        else:
-            qpos_dof = jnp.zeros((N, self.nv), f32)
+        qpos_dof = q @ self.q_to_dof.T
 
         kp_drive = jnp.where(
             jnp.asarray(self.dof_drive_mode == md.DRIVE_POS), self.dof_stiffness, 0.0
@@ -716,7 +729,7 @@ class PhysicsEngine:
 
     def _integrate(self, q, qd):
         h = self.h
-        q_new = q
+        segs = []
         for b in range(self.nb):
             t = int(self.jnt_type_np[b])
             qa, va = int(self.q_adr[b]), int(self.v_adr[b])
@@ -724,19 +737,17 @@ class PhysicsEngine:
                 pos = q[:, qa: qa + 3] + h * qd[:, va: va + 3]
                 quat = q[:, qa + 3: qa + 7]
                 w = qd[:, va + 3: va + 6]
-                angle = jnp.linalg.norm(w, axis=-1) * h
-                axis = jnp.where(
-                    jnp.linalg.norm(w, axis=-1, keepdims=True) > 1e-9,
-                    w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-9),
-                    jnp.array([0.0, 0, 1], q.dtype),
-                )
+                wn = jnp.linalg.norm(w, axis=-1, keepdims=True)
+                angle = wn[..., 0] * h
+                axis = jnp.where(wn > 1e-9, w / jnp.maximum(wn, 1e-9),
+                                 jnp.array([0.0, 0, 1], q.dtype))
                 dq = maths.quat_from_angle_axis(angle, axis)
                 quat_new = maths.normalize(maths.quat_mul(dq, quat))
-                q_new = q_new.at[:, qa: qa + 3].set(pos)
-                q_new = q_new.at[:, qa + 3: qa + 7].set(quat_new)
+                segs.append(pos)
+                segs.append(quat_new)
             elif t in (md.HINGE, md.SLIDE):
-                q_new = q_new.at[:, qa].set(q[:, qa] + h * qd[:, va])
-        return q_new
+                segs.append(q[:, qa: qa + 1] + h * qd[:, va: va + 1])
+        return jnp.concatenate(segs, axis=-1) if segs else q
 
     # ------------------------------------------------------------------
     # full control step
@@ -824,6 +835,33 @@ class PhysicsEngine:
             qdd=qdd,
             dof_force=dof_force if dof_force is not None else jnp.zeros_like(qd),
         )
+
+    def dynamics_readout(self, state: SimState):
+        """Mass matrix + kinematic quantities for task-level controllers.
+
+        The acquire_mass_matrix_tensor / acquire_jacobian_tensor replacement
+        (used by OSC — franka_reach_MA.py:891-911).  Returns
+        (M (N, nv, nv), body_x, body_q, S, V).
+        """
+        body_x, body_q = self.fk(state.q)
+        S = self.dof_motion(body_x, body_q)
+        V = self.body_velocities(S, state.qd)
+        I_O, _ = self.spatial_inertia(body_x, body_q)
+        M = self.mass_matrix(S, I_O)
+        return M, body_x, body_q, S, V
+
+    def point_jacobian(self, S, body_x, body: int, point=None):
+        """End-effector jacobian rows [lin(3), ang(3)] per dof: (N, nv, 6).
+
+        ``point``: world application point (defaults to the body origin).
+        Caller slices the relevant dof columns (e.g. one arm's 7 dofs).
+        """
+        p = body_x[:, body] if point is None else point
+        S_ang = S[..., 0:3]
+        S_lin = S[..., 3:6]
+        J_lin = S_lin + _cross(S_ang, p[:, None, :])
+        mask = self.dof_body_mask_f[:, body][None, :, None]
+        return jnp.concatenate([J_lin, S_ang], axis=-1) * mask
 
     def forward(self, state: SimState, prev_out: Optional[SimOutput] = None) -> SimOutput:
         """Kinematics-only readout refresh (the ``gym.refresh_*`` family).

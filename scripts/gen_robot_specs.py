@@ -25,6 +25,11 @@ URDF_ASSETS = {
     # collapse_fixed mirrors Anymal's asset options (tasks/anymal.py:171-181)
     "anymal": ("/root/reference/assets/urdf/anymal_c/urdf/anymal.urdf",
                dict(collapse_fixed=True)),
+    # kinematics only (mesh collisions / no inertials in the source URDF);
+    # mass properties and contact geoms are attached in models/franka.py
+    "franka_panda": (
+        "/root/reference/assets/urdf/franka_description/robots/franka_panda_gripper.urdf",
+        dict(fix_base_link=True)),
 }
 
 TEMPLATE = '''"""Auto-generated robot spec ({name}) — produced by scripts/gen_robot_specs.py.
