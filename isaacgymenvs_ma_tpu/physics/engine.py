@@ -336,12 +336,18 @@ class PhysicsEngine:
 
     # ------------------------------------------------------------------
     # dynamics pieces
-    def spatial_inertia(self, body_x, body_q):
-        """World spatial inertia about the origin, (N, nb, 6, 6)."""
+    def spatial_inertia(self, body_x, body_q, mass_scale=None):
+        """World spatial inertia about the origin, (N, nb, 6, 6).
+
+        ``mass_scale``: optional per-env factor (N, 1|nb) — DR mass scaling
+        (scales inertia proportionally, like PhysX density scaling)."""
         R = maths.quat_to_rotmat(body_q)                       # (N, nb, 3, 3)
         Ic = jnp.einsum("nbij,bjk,nblk->nbil", R, self.inertia.astype(body_x.dtype), R)
         c = body_x + maths.quat_apply(body_q, self.com)        # world com
         m = self.mass[None, :, None, None]
+        if mass_scale is not None:
+            m = m * mass_scale[:, :, None, None]
+            Ic = Ic * mass_scale[:, :, None, None]
         cx = self._skew(c)                                     # (N, nb, 3, 3)
         mcx = m * cx
         top_left = Ic - m * jnp.einsum("nbij,nbjk->nbik", cx, cx)
@@ -415,7 +421,7 @@ class PhysicsEngine:
 
     # ------------------------------------------------------------------
     # substep
-    def substep(self, q, qd, ctrl: Control, terrain=None):
+    def substep(self, q, qd, ctrl: Control, terrain=None, phys=None):
         h = self.h
         N = q.shape[0]
         f32 = q.dtype
@@ -423,7 +429,8 @@ class PhysicsEngine:
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)
         V = self.body_velocities(S, qd)
-        I_O, com_w = self.spatial_inertia(body_x, body_q)
+        I_O, com_w = self.spatial_inertia(
+            body_x, body_q, None if phys is None else phys.mass)
         M = self.mass_matrix(S, I_O)
         C = self.bias_force(S, qd, V, I_O)
 
@@ -438,6 +445,10 @@ class PhysicsEngine:
         ).astype(f32)
         k_spring = self.dof_spring
         d_damp = self.dof_damping
+        if phys is not None:  # DR dof-property scaling (dr_utils.py:148-208)
+            kp_drive = kp_drive * phys.stiffness
+            kd_drive = kd_drive * phys.damping
+            d_damp = d_damp * phys.damping
 
         tau = ctrl.tau
         # clamp applied efforts like PhysX does
@@ -470,7 +481,8 @@ class PhysicsEngine:
         imp_dof = jnp.zeros_like(qd_new)
         if (self.ground and self.n_pts) or self.pairs:
             qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
-                qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain)
+                qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain,
+                None if phys is None else phys.friction)
         else:
             qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
             p_w = None
@@ -576,7 +588,8 @@ class PhysicsEngine:
         J = J * self.pts_dof_mask.T[None, :, :, None]          # mask non-ancestor dofs
         return p, J
 
-    def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain):
+    def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
+                       friction_scale=None):
         """Projected-Jacobi impulse solve for plane contacts + joint limits."""
         pr = self.params
         h = self.h
@@ -589,6 +602,8 @@ class PhysicsEngine:
                 ground_z = terrain.height_at(p[..., 0], p[..., 1])
             phi = p[..., 2] - self.pts_rad - ground_z          # (N, P)
             mu = self.pts_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
+            if friction_scale is not None:
+                mu = mu * friction_scale
         else:
             p = J = phi = mu = None
         # ---- body-pair rows (frame-projected)
@@ -751,7 +766,7 @@ class PhysicsEngine:
 
     # ------------------------------------------------------------------
     # full control step
-    def step(self, state: SimState, ctrl: Control, terrain=None):
+    def step(self, state: SimState, ctrl: Control, terrain=None, phys=None):
         """Advance one control step (= ``substeps`` physics substeps).
 
         Mirrors the hot loop ``control_freq_inv x gym.simulate``
@@ -763,7 +778,7 @@ class PhysicsEngine:
         imp_dof_accum = jnp.zeros_like(qd)
         aux = None
         for _ in range(self.params.substeps):
-            q, qd, aux = self.substep(q, qd, ctrl, terrain)
+            q, qd, aux = self.substep(q, qd, ctrl, terrain, phys)
             if aux[4] is not None:
                 impulse_accum = aux[4] if impulse_accum is None else impulse_accum + aux[4]
             imp_dof_accum = imp_dof_accum + aux[6]

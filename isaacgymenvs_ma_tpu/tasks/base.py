@@ -39,6 +39,7 @@ class EnvState(NamedTuple):
     reset_buf: jax.Array         # (N,) int32 — init 1 (vec_task.py:321)
     rng: jax.Array               # single threaded PRNG key
     task: Any = None             # task-specific pytree (potentials, targets, ...)
+    phys: Any = None             # PhysScales pytree when DR is enabled
 
 
 class StepResult(NamedTuple):
@@ -84,6 +85,13 @@ class VecTaskBase:
         self.sim_params = parse_sim_params(cfg.get("sim", {}))
         self.dt = self.sim_params.dt
         self.terrain = None
+        task_sec = cfg.get("task", {}) or {}
+        if task_sec.get("randomize"):
+            from ..utils.domain_rand import DomainRandomizer
+            self.randomizer = DomainRandomizer(
+                task_sec.get("randomization_params", {}), self.num_envs)
+        else:
+            self.randomizer = None
         model, ground = self.create_model()
         self.model = model
         self.engine = self.build_engine(model, ground)
@@ -118,12 +126,17 @@ class VecTaskBase:
     # ------------------------------------------------------------------
     def initial_state(self, key: jax.Array) -> EnvState:
         sim = self.engine.default_state(self.num_envs)
+        phys = None
+        if self.randomizer is not None and self.randomizer.enabled:
+            from ..utils.domain_rand import PhysScales
+            phys = PhysScales.ones(self.num_envs)
         return EnvState(
             sim=sim,
             progress=jnp.zeros(self.num_envs, jnp.int32),
             reset_buf=jnp.ones(self.num_envs, jnp.int32),
             rng=key,
             task=self.initial_task_state(),
+            phys=phys,
         )
 
     def reset(self, state: EnvState):
@@ -132,10 +145,18 @@ class VecTaskBase:
         return state, obs
 
     def step(self, state: EnvState, actions: jax.Array) -> Tuple[EnvState, StepResult]:
-        key, k_reset, k_step = jax.random.split(state.rng, 3)
+        key, k_reset, k_step, k_anoise, k_onoise, k_phys = jax.random.split(state.rng, 6)
+        if self.randomizer is not None:
+            # DR action noise before clipping (vec_task.py:373-376)
+            actions = self.randomizer.randomize_actions(k_anoise, actions)
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
         reset_mask = state.reset_buf > 0
+        phys = state.phys
+        if self.randomizer is not None and phys is not None:
+            # physics randomization happens at reset (tasks/ant.py:252-255)
+            phys = self.randomizer.resample_phys(k_phys, reset_mask, phys)
+            state = state._replace(phys=phys)
         if self.reset_in_pre_physics:
             sim, task = self.reset_idx(state.sim, state.task, reset_mask, k_reset)
             state = state._replace(sim=sim, task=task)
@@ -144,7 +165,8 @@ class VecTaskBase:
         sim = state.sim
         out = None
         for _ in range(self.control_freq_inv):
-            sim, out = self.engine.step(sim, ctrl, terrain=self.terrain)
+            sim, out = self.engine.step(sim, ctrl, terrain=self.terrain,
+                                        phys=state.phys)
 
         # ---- post physics (ant.py:287-297 ordering) ----
         progress = state.progress + 1
@@ -163,12 +185,15 @@ class VecTaskBase:
         extras = dict(extras)
         extras["time_outs"] = self._to_batch(timeout)
 
+        if self.randomizer is not None:
+            # DR obs noise before clipping (vec_task.py:404-406)
+            obs = self.randomizer.randomize_observations(k_onoise, obs)
         obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
         if states is not None:
             states = jnp.clip(states, -self.clip_obs, self.clip_obs)
 
         new_state = EnvState(sim=sim, progress=progress, reset_buf=reset,
-                             rng=key, task=task)
+                             rng=key, task=task, phys=state.phys)
         return new_state, StepResult(obs=obs, states=states, rew=rew,
                                      reset=self._to_batch(reset), extras=extras)
 
