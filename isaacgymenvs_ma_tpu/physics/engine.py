@@ -68,6 +68,7 @@ class Control(NamedTuple):
     pos_target: Optional[jax.Array] = None
     vel_target: Optional[jax.Array] = None
     f_ext: Optional[jax.Array] = None
+    grab_active: Optional[jax.Array] = None  # (N, n_grabs) bool/float mask
 
 
 class SimState(NamedTuple):
@@ -93,11 +94,48 @@ def _cross(a, b):
     return jnp.cross(a, b)
 
 
+def spd_inverse(H: jax.Array) -> jax.Array:
+    """Batched SPD matrix inverse via recursive 2x2-block Schur complement.
+
+    ``jnp.linalg.inv`` lowers batched LU on TPU into loop nests that access
+    ~3 GB for a (4096, 14, 14) inverse; this formulation is ~15 batched small
+    matmuls instead.  H must be symmetric positive definite (mass matrices
+    are)."""
+    n = H.shape[-1]
+    if n == 1:
+        return 1.0 / H
+    if n == 2:
+        a = H[..., 0, 0]
+        b = H[..., 0, 1]
+        d = H[..., 1, 1]
+        det = a * d - b * b
+        inv = jnp.stack([
+            jnp.stack([d, -b], -1),
+            jnp.stack([-b, a], -1),
+        ], -2)
+        return inv / det[..., None, None]
+    k = n // 2
+    A = H[..., :k, :k]
+    B = H[..., :k, k:]
+    D = H[..., k:, k:]
+    Ainv = spd_inverse(A)
+    AinvB = jnp.matmul(Ainv, B)
+    S = D - jnp.matmul(jnp.swapaxes(B, -1, -2), AinvB)
+    Sinv = spd_inverse(S)
+    TL = Ainv + jnp.matmul(jnp.matmul(AinvB, Sinv), jnp.swapaxes(AinvB, -1, -2))
+    TR = -jnp.matmul(AinvB, Sinv)
+    return jnp.concatenate([
+        jnp.concatenate([TL, TR], -1),
+        jnp.concatenate([jnp.swapaxes(TR, -1, -2), Sinv], -1),
+    ], -2)
+
+
 class PhysicsEngine:
     """Compiled-once physics stepper for one scene replicated over N envs."""
 
     def __init__(self, model: md.SceneModel, params: SimParams,
-                 ground: bool = True, pair_specs=None, attractors=None):
+                 ground: bool = True, pair_specs=None, attractors=None,
+                 grabs=None):
         """``pair_specs``: list of (geom_a, geom_b) collision pairs — candidate
         points of geom_a against the SDF of geom_b (ball-vs-tray, cube-vs-hand,
         corner-vs-table...).  Static, fixed-shape narrowphase."""
@@ -241,6 +279,17 @@ class PhysicsEngine:
         self.row_body_a = np.asarray(ra, np.int32)
         self.row_body_b = np.asarray(rb, np.int32)
 
+        # grab constraints: conditional bilateral body<->body point pins used
+        # to model grasping (gripper suction) — activation per env via
+        # Control.grab_active
+        self.grabs = []
+        for (ba, offa, bb, offb) in (grabs or []):
+            self.grabs.append(dict(
+                body_a=int(ba), off_a=f32(offa),
+                body_b=int(bb), off_b=f32(offb),
+                mask=f32(dbm[:, int(ba)] - dbm[:, int(bb)]),
+            ))
+
         # attractors: soft-pin a body point to a world point (translation axes)
         # — gymapi.create_rigid_body_attractor, solved as bilateral rows
         self.attractors = []
@@ -332,7 +381,7 @@ class PhysicsEngine:
     def body_velocities(self, S, qd):
         """Spatial velocity [ang, lin@origin] per body: V (N, nb, 6)."""
         Sqd = S * qd[..., None]
-        return jnp.einsum("nvd,vb->nbd", Sqd, self.dof_body_mask_f)
+        return jnp.matmul(self.dof_body_mask_f.T, Sqd)
 
     # ------------------------------------------------------------------
     # dynamics pieces
@@ -342,7 +391,8 @@ class PhysicsEngine:
         ``mass_scale``: optional per-env factor (N, 1|nb) — DR mass scaling
         (scales inertia proportionally, like PhysX density scaling)."""
         R = maths.quat_to_rotmat(body_q)                       # (N, nb, 3, 3)
-        Ic = jnp.einsum("nbij,bjk,nblk->nbil", R, self.inertia.astype(body_x.dtype), R)
+        I_loc = jnp.broadcast_to(self.inertia.astype(body_x.dtype), R.shape)
+        Ic = jnp.matmul(jnp.matmul(R, I_loc), jnp.swapaxes(R, -1, -2))
         c = body_x + maths.quat_apply(body_q, self.com)        # world com
         m = self.mass[None, :, None, None]
         if mass_scale is not None:
@@ -350,7 +400,7 @@ class PhysicsEngine:
             Ic = Ic * mass_scale[:, :, None, None]
         cx = self._skew(c)                                     # (N, nb, 3, 3)
         mcx = m * cx
-        top_left = Ic - m * jnp.einsum("nbij,nbjk->nbik", cx, cx)
+        top_left = Ic - m * jnp.matmul(cx, cx)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=body_x.dtype), cx.shape)
         I = jnp.concatenate(
             [
@@ -389,11 +439,16 @@ class PhysicsEngine:
 
     def mass_matrix(self, S, I_O):
         """CRBA in world coordinates via ancestor-mask einsums: (N, nv, nv)."""
-        # composite inertia: sum of descendants-or-self
-        IcC = jnp.einsum("bj,njde->nbde", self.body_anc_f, I_O)
-        IcC_dof = jnp.einsum("vb,nbde->nvde", self.oh_dof_body, IcC)
-        F = jnp.einsum("nvde,nve->nvd", IcC_dof, S)
-        G = jnp.einsum("nid,njd->nij", S, F)
+        # composite inertia: sum of descendants-or-self.  Explicit
+        # dot_generals — einsum lowers these as broadcast-reduce with ~100x
+        # the HBM traffic on TPU.
+        N = I_O.shape[0]
+        I_flat = I_O.reshape(N, self.nb, 36)
+        # anc[b, j] I[n, j, :] -> (nb, N, 36) -> (N, nb, 36)
+        comb = jnp.matmul(self.oh_dof_body @ self.body_anc_f, I_flat)
+        IcC_dof = comb.reshape(N, self.nv, 6, 6)
+        F = jnp.matmul(IcC_dof, S[..., None])[..., 0]          # (N, nv, 6)
+        G = jnp.matmul(S, jnp.swapaxes(F, -1, -2))             # (N, nv, nv)
         upper = jnp.where(self.dof_anc, G, 0.0)
         diag = jnp.einsum("nii->ni", upper)
         M = upper + jnp.swapaxes(upper, -1, -2) - self._diag_embed(diag)
@@ -407,16 +462,13 @@ class PhysicsEngine:
         """RNEA with qdd = 0 and a0 = -g: returns C (N, nv)."""
         N = S.shape[0]
         a0 = jnp.concatenate([jnp.zeros(3, S.dtype), -self.gravity]).astype(S.dtype)
-        V_dof = jnp.einsum("vb,nbd->nvd", self.oh_dof_body, V)
+        V_dof = jnp.matmul(self.oh_dof_body, V)                # (N, nv, 6)
         xi = self._cross_motion(V_dof, S * qd[..., None])      # (N, nv, 6)
-        a = a0 + jnp.einsum("nvd,vb->nbd", xi, self.dof_body_mask_f)
-        Iv = jnp.einsum("nbde,nbe->nbd", I_O, V)
-        f = jnp.einsum("nbde,nbe->nbd", I_O, a) + self._cross_force(V, Iv)
-        # C_i = S_i . f_sub[body(i)]; fold the subtree sum and the body gather
-        # into one contraction
-        f_sub_dof = jnp.einsum("vb,bj,njd->nvd", self.oh_dof_body,
-                               self.body_anc_f, f)
-        C = jnp.einsum("nvd,nvd->nv", S, f_sub_dof)
+        a = a0 + jnp.matmul(self.dof_body_mask_f.T, xi)        # (N, nb, 6)
+        Iv = jnp.matmul(I_O, V[..., None])[..., 0]
+        f = jnp.matmul(I_O, a[..., None])[..., 0] + self._cross_force(V, Iv)
+        f_sub_dof = jnp.matmul(self.oh_dof_body @ self.body_anc_f, f)
+        C = jnp.sum(S * f_sub_dof, axis=-1)
         return C
 
     # ------------------------------------------------------------------
@@ -471,7 +523,7 @@ class PhysicsEngine:
 
         diag = self.dof_armature + h * (d_damp + kd_drive) + h * h * (k_spring + kp_drive)
         H = M + self._diag_embed(jnp.broadcast_to(diag, (N, self.nv)).astype(f32))
-        Hinv = jnp.linalg.inv(H)
+        Hinv = spd_inverse(H)
 
         qdd = jnp.einsum("nij,nj->ni", Hinv, rhs)
         qd_new = qd + h * qdd
@@ -479,10 +531,11 @@ class PhysicsEngine:
         # ---------------- unilateral constraints (contacts + joint limits)
         impulse_pts = None
         imp_dof = jnp.zeros_like(qd_new)
-        if (self.ground and self.n_pts) or self.pairs:
+        if (self.ground and self.n_pts) or self.pairs or self.grabs:
             qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain,
-                None if phys is None else phys.friction)
+                None if phys is None else phys.friction,
+                grab_active=ctrl.grab_active)
         else:
             qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
             p_w = None
@@ -589,7 +642,7 @@ class PhysicsEngine:
         return p, J
 
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
-                       friction_scale=None):
+                       friction_scale=None, grab_active=None):
         """Projected-Jacobi impulse solve for plane contacts + joint limits."""
         pr = self.params
         h = self.h
@@ -624,9 +677,13 @@ class PhysicsEngine:
                 mu = jnp.concatenate([mu, pmu], 0)
         active = phi < 0.0
 
-        HinvJ = jnp.einsum("nvw,npwk->npvk", Hinv, J)          # (N, P, nv, 3)
-        W = jnp.einsum("npvk,npvl->npkl", J, HinvJ)            # (N, P, 3, 3)
-        w_diag = jnp.maximum(jnp.einsum("npkk->npk", W), 1e-8)
+        # HinvJ[n,p,:,k] = Hinv @ J[n,p,:,k]: flatten rows -> one batched GEMM
+        Np, Pp = J.shape[0], J.shape[1]
+        J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, self.nv)
+        HinvJ_rows = jax.lax.dot_general(
+            J_rows, Hinv, (((2,), (1,)), ((0,), (0,))))         # (N, P*3, nv)
+        HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, self.nv), 2, 3)
+        w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
 
         b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
 
@@ -644,6 +701,36 @@ class PhysicsEngine:
         lam_lo = jnp.zeros_like(qd)
         lam_hi = jnp.zeros_like(qd)
 
+        if self.grabs:
+            g_J, g_b = [], []
+            S_ang_g = S[:, None, :, 0:3]
+            S_lin_g = S[:, None, :, 3:6]
+            for g in self.grabs:
+                pa = (body_x[:, g["body_a"]]
+                      + maths.quat_apply(body_q[:, g["body_a"]], g["off_a"]))[:, None]
+                pb = (body_x[:, g["body_b"]]
+                      + maths.quat_apply(body_q[:, g["body_b"]], g["off_b"]))[:, None]
+                pm = 0.5 * (pa + pb)
+                Jg = (S_lin_g + _cross(S_ang_g, pm[:, :, None, :])) \
+                    * g["mask"][None, None, :, None]
+                g_J.append(Jg)
+                g_b.append(-pr.baumgarte / h * (pa - pb))
+            g_J = jnp.concatenate(g_J, 1)                      # (N, G, nv, 3)
+            g_b = jnp.concatenate(g_b, 1)
+            Ng, Gg = g_J.shape[0], g_J.shape[1]
+            gJ_rows = jnp.swapaxes(g_J, 2, 3).reshape(Ng, Gg * 3, self.nv)
+            gHJ_rows = jax.lax.dot_general(
+                gJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))))
+            g_HJ = jnp.swapaxes(gHJ_rows.reshape(Ng, Gg, 3, self.nv), 2, 3)
+            g_W = jnp.maximum(jnp.sum(g_J * g_HJ, axis=2), 1e-8)
+            if grab_active is None:
+                g_act = jnp.zeros(g_b.shape[:2], qd.dtype)
+            else:
+                g_act = grab_active.astype(qd.dtype)
+            lam_g = jnp.zeros(g_b.shape, qd.dtype)
+        else:
+            g_J = g_HJ = g_W = g_b = g_act = lam_g = None
+
         if self.attractors:
             att_p, att_J, att_b, att_wd = [], [], [], []
             S_ang = S[:, None, :, 0:3]
@@ -657,23 +744,55 @@ class PhysicsEngine:
                 att_b.append(-pr.baumgarte / h * (pa - a["target"]))
             att_J = jnp.concatenate(att_J, 1)                  # (N, A, nv, 3)
             att_b = jnp.concatenate(att_b, 1)                  # (N, A, 3)
-            att_HJ = jnp.einsum("nvw,nawk->navk", Hinv, att_J)
-            att_W = jnp.maximum(
-                jnp.einsum("navk,navk->nak", att_J, att_HJ), 1e-8)
+            Na, Aa = att_J.shape[0], att_J.shape[1]
+            aJ_rows = jnp.swapaxes(att_J, 2, 3).reshape(Na, Aa * 3, self.nv)
+            aHJ_rows = jax.lax.dot_general(
+                aJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))))
+            att_HJ = jnp.swapaxes(aHJ_rows.reshape(Na, Aa, 3, self.nv), 2, 3)
+            att_W = jnp.maximum(jnp.sum(att_J * att_HJ, axis=2), 1e-8)
             lam_att = jnp.zeros(att_b.shape, qd.dtype)
         else:
             att_J = att_HJ = att_W = att_b = lam_att = None
 
         relax = pr.relaxation
 
+        # flatten row-axis Jacobians to (N, C*3, nv) so the per-iteration
+        # matvecs lower as batched dot_generals — einsum over (npvk, nv)
+        # otherwise materializes (N, P, nv, 3) broadcast intermediates every
+        # iteration (the dominant HBM cost of the whole substep).
+        N = qd.shape[0]
+        P = J.shape[1]
+        nv = self.nv
+
+        def flat_rows(x):  # (N, C, nv, 3) -> (N, C*3, nv)
+            return jnp.swapaxes(x, 2, 3).reshape(N, -1, nv)
+
+        def matvec(A, x):  # (N, R, nv) x (N, nv) -> (N, R)
+            return jax.lax.dot_general(A, x, (((2,), (1,)), ((0,), (0,))))
+
+        def matvec_T(x, A):  # (N, R) x (N, R, nv) -> (N, nv)
+            return jax.lax.dot_general(x, A, (((1,), (1,)), ((0,), (0,))))
+
+        Jr = flat_rows(J)
+        HJr = flat_rows(HinvJ)
+        if g_J is not None:
+            gJr, gHJr = flat_rows(g_J), flat_rows(g_HJ)
+        if att_J is not None:
+            aJr, aHJr = flat_rows(att_J), flat_rows(att_HJ)
+
         def body_fn(carry, _):
-            qd_c, lam, lam_lo, lam_hi, lam_att = carry
+            qd_c, lam, lam_lo, lam_hi, lam_att, lam_g = carry
+            if lam_g is not None:
+                v_g = matvec(gJr, qd_c).reshape(lam_g.shape)
+                dl_g = relax * (g_b - v_g) / g_W * g_act[..., None]
+                lam_g = lam_g + dl_g
+                qd_c = qd_c + matvec_T(dl_g.reshape(N, -1), gHJr)
             if lam_att is not None:
-                v_att = jnp.einsum("navk,nv->nak", att_J, qd_c)
+                v_att = matvec(aJr, qd_c).reshape(lam_att.shape)
                 dl_att = relax * (att_b - v_att) / att_W
                 lam_att = lam_att + dl_att
-                qd_c = qd_c + jnp.einsum("navk,nak->nv", att_HJ, dl_att)
-            v_c = jnp.einsum("npvk,nv->npk", J, qd_c)
+                qd_c = qd_c + matvec_T(dl_att.reshape(N, -1), aHJr)
+            v_c = matvec(Jr, qd_c).reshape(N, P, 3)
             # normal
             dv_n = b_n - v_c[..., 2]
             lam_n_new = jnp.maximum(lam[..., 2] + relax * dv_n / w_diag[..., 2], 0.0)
@@ -685,7 +804,7 @@ class PhysicsEngine:
             lam_new = jnp.stack([lam_t1, lam_t2, lam_n_new], axis=-1)
             lam_new = jnp.where(active[..., None], lam_new, 0.0)
             dlam = lam_new - lam
-            dqd = jnp.einsum("npvk,npk->nv", HinvJ, dlam)
+            dqd = matvec_T(dlam.reshape(N, -1), HJr)
             # joint limits (J = e_i): lower pushes +, upper pushes -
             qd_c2 = qd_c + dqd
             lam_lo_new = jnp.where(
@@ -693,13 +812,13 @@ class PhysicsEngine:
             lam_hi_new = jnp.where(
                 act_hi, jnp.maximum(lam_hi + relax * (b_hi + qd_c2) / hinv_diag, 0.0), 0.0)
             dlim = (lam_lo_new - lam_lo) - (lam_hi_new - lam_hi)
-            qd_c2 = qd_c2 + jnp.einsum("nvw,nw->nv", Hinv, dlim)
-            return (qd_c2, lam_new, lam_lo_new, lam_hi_new, lam_att), None
+            qd_c2 = qd_c2 + matvec(Hinv, dlim)
+            return (qd_c2, lam_new, lam_lo_new, lam_hi_new, lam_att, lam_g), None
 
-        (qd, lam, lam_lo, lam_hi, lam_att), _ = jax.lax.scan(
-            body_fn, (qd, lam, lam_lo, lam_hi, lam_att), None,
+        (qd, lam, lam_lo, lam_hi, lam_att, lam_g), _ = jax.lax.scan(
+            body_fn, (qd, lam, lam_lo, lam_hi, lam_att, lam_g), None,
             length=self.params.num_iterations)
-        imp_dof = jnp.einsum("npvk,npk->nv", J, lam) + (lam_lo - lam_hi)
+        imp_dof = matvec_T(lam.reshape(N, -1), Jr) + (lam_lo - lam_hi)
         # world-frame impulse vectors per row (ground rows are world-aligned)
         if self.pairs:
             kg = lam.shape[1] - frame.shape[1]

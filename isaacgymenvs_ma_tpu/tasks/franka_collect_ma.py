@@ -1,0 +1,245 @@
+"""FrankaCollectMA (reference tasks/franka_collect_MA.py, 1173 LoC) —
+obs 28 (K=T=2) / act 7.
+
+Adds to FrankaReachMA: a wall across the table (y=0.3, 0.3 m tall, :293-296),
+gripper action (7th dof), a per-agent **7-state FSM**
+(approach -> hold -> lift -> move -> descend -> release -> GOAL,
+``compute_FSM`` :549-607) plus a global FSM over all agents (:609-635), and
+an FSM-staged reward with behavior-stage reward BSR (``compute_franka_reward``
+:1083-1177).  The FSM state is part of the per-agent observation (:726-732).
+
+Grasping is modeled with the engine's conditional grab constraints
+(gripper-suction): when an agent is in the holding state, its grip site is
+pinned to its nearest cube — the TPU-native stand-in for PhysX finger-pad
+frictional grasps.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.franka import build_franka
+from ..models.model import FIXED, FREE, GEOM_BOX, ModelBuilder, compose_scene
+from ..physics.engine import Control, PhysicsEngine, SimState
+from ..utils.config import deep_merge
+from .base import EnvState, masked_update
+from .franka_reach_ma import (CUBE_SIZE, FRANKA_BASE_Z, TABLE_HALF, TABLE_POS,
+                              TABLE_SURFACE_Z, FrankaMATaskState, FrankaReachMA,
+                              TASK_CFG as REACH_CFG, franka_start_poses)
+
+TASK_CFG = deep_merge(REACH_CFG, {
+    "name": "FrankaCollectMA",
+    "env": {"episodeLength": 300},
+})
+
+WALL_HEIGHT = 0.3
+WALL_Y = 0.3
+TABLE_HEIGHT = TABLE_SURFACE_Z  # 1.025; the reference rounds to 1.05
+
+
+class CollectTaskState(NamedTuple):
+    actions: jax.Array   # (B, 7)
+    fsm: jax.Array       # (N, K) int32
+
+
+class FrankaCollectMA(FrankaReachMA):
+    NUM_ACTIONS = 7
+
+    def _obs_dim(self, K, T):
+        # all targets + [eef_quat, eef_pos, min_rel, base_pos, base_quat]
+        # + others' eef + [FSM, FSM] (ref :77-84)
+        return (3 + 4 + 3 + 7) + 3 * T + 3 * (K - 1) + 2
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        # static per-agent base poses (link0 world frames)
+        pos, quat = franka_start_poses(self.num_agents)
+        self.base_pos = jnp.asarray(
+            np.concatenate([pos, np.full((self.num_agents, 1), FRANKA_BASE_Z)],
+                           -1), jnp.float32)
+        self.base_quat = jnp.asarray(quat, jnp.float32)
+
+    def create_model(self):
+        model, ground = super().create_model()
+        # append the wall as an extra fixed actor (ref :293-296, :364)
+        wb = ModelBuilder()
+        wb.begin_actor()
+        wall = wb.add_body("wall", -1, FIXED, body_pos=(
+            0.0, WALL_Y, TABLE_POS[2] + TABLE_HALF[2] + WALL_HEIGHT / 2))
+        wb.add_geom(wall, GEOM_BOX, (0.6, 0.025, WALL_HEIGHT / 2), density=None,
+                    contact=True, name="wall_geom")
+        model = compose_scene(
+            [(model, (0, 0, 0), (0, 0, 0, 1)),
+             (wb.finalize(), (0, 0, 0), (0, 0, 0, 1))])
+        # recompute bookkeeping on the composed model
+        self._index_model(model)
+        return model, ground
+
+    def _index_model(self, m):
+        names = m.body_names
+        self._hand_bodies = [i for i, n in enumerate(names) if n == "panda_hand"]
+        self._grip_bodies = [i for i, n in enumerate(names) if n == "panda_grip_site"]
+        link0_idx = [i for i, n in enumerate(names) if n == "panda_link0"]
+        self._arm_dof_lists = []
+        for k in range(len(link0_idx)):
+            root = link0_idx[k]
+            sub = [i for i in range(m.nb) if m.body_ancestor[root, i]]
+            self._arm_dof_lists.append(
+                [d for d in range(m.nv) if m.dof_body[d] in sub])
+        self._cube_actors, self._cube_q_adr, self._cube_v_adr = [], [], []
+        self._cube_bodies = []
+        for i, n in enumerate(names):
+            if n == "cubeA":
+                self._cube_actors.append(int(np.searchsorted(m.actor_root_body, i)))
+                self._cube_q_adr.append(int(m.q_adr[i]))
+                self._cube_v_adr.append(int(m.v_adr[i]))
+                self._cube_bodies.append(i)
+
+    def build_engine(self, model, ground):
+        table_geoms = [i for i, g in enumerate(model.geoms) if g.name == "table_top"]
+        wall_geoms = [i for i, g in enumerate(model.geoms) if g.name == "wall_geom"]
+        cube_geoms = [i for i, g in enumerate(model.geoms) if g.name == "cubeA_geom"]
+        hand_geoms = [i for i, g in enumerate(model.geoms) if g.name == "hand_sphere"]
+        pairs = [(c, table_geoms[0]) for c in cube_geoms]
+        pairs += [(c, wall_geoms[0]) for c in cube_geoms]
+        for a in range(len(hand_geoms)):
+            for b in range(a + 1, len(hand_geoms)):
+                pairs.append((hand_geoms[a], hand_geoms[b]))
+        # grab specs: every (arm grip site, cube) combination
+        grabs = []
+        for gb in self._grip_bodies:
+            for cb in self._cube_bodies:
+                grabs.append((gb, (0, 0, 0), cb, (0, 0, 0)))
+        return PhysicsEngine(model, self.sim_params, ground=ground,
+                             pair_specs=pairs, grabs=grabs)
+
+    # ------------------------------------------------------------------
+    NUM_ACTIONS = 7
+
+    def initial_task_state(self):
+        return CollectTaskState(
+            actions=jnp.zeros((self.rl_games_batch, 7), jnp.float32),
+            fsm=jnp.zeros((self.num_envs, self.num_agents), jnp.int32))
+
+    def _cube_positions(self, sim):
+        T = self.num_targets
+        return jnp.stack([
+            sim.q[:, int(self.cube_q_adr[t]): int(self.cube_q_adr[t]) + 3]
+            for t in range(T)], axis=1)
+
+    def _nearest(self, sim):
+        """min-relative vectors + nearest ids from the current sim state."""
+        bx, bq = self.engine.fk(sim.q)
+        eef = bx[:, self.grip_bodies]                           # (N, K, 3)
+        cube = self._cube_positions(sim)                        # (N, T, 3)
+        rel = cube[:, None] - eef[:, :, None]
+        dist = jnp.linalg.norm(rel, axis=-1)
+        nearest = jnp.argmin(dist, axis=-1)
+        min_rel = jnp.take_along_axis(
+            rel, nearest[..., None, None].repeat(3, -1), axis=2)[:, :, 0]
+        nearest_pos = jnp.take_along_axis(
+            cube, nearest[..., None].repeat(3, -1), axis=1)
+        return eef, cube, min_rel, nearest, nearest_pos
+
+    def _fsm(self, md, gripper_closed, nearest_pos):
+        """7-state FSM (ref :549-607)."""
+        fsm = jnp.zeros_like(md, dtype=jnp.int32)
+        close = md <= (CUBE_SIZE * 0.5 * 0.9)
+        fsm = jnp.where(close, 1, fsm)
+        holding = close & gripper_closed
+        fsm = jnp.where(holding, 2, fsm)
+        high = (nearest_pos[..., 2] - 1.05) > (WALL_HEIGHT + CUBE_SIZE / 2)
+        fsm = jnp.where(holding & high, 3, fsm)
+        in_area = (nearest_pos[..., 1] > WALL_Y + CUBE_SIZE) \
+            & (jnp.abs(nearest_pos[..., 0]) < 0.6)
+        fsm = jnp.where(holding & in_area, 4, fsm)
+        low = (nearest_pos[..., 2] - 1.05) < WALL_HEIGHT / 2
+        fsm = jnp.where(holding & in_area & low, 5, fsm)
+        fsm = jnp.where(holding & in_area & low & (~gripper_closed), 6, fsm)
+        return fsm
+
+    def _global_fsm(self, fsm):
+        """(ref :609-635)."""
+        g = jnp.zeros(fsm.shape[0], jnp.int32)
+        g = jnp.where(jnp.any(fsm > 0, -1), 1, g)
+        for s in range(1, 7):
+            g = jnp.where(jnp.all(fsm >= s, -1), s + 1, g)
+        return g
+
+    def pre_physics(self, state: EnvState, actions: jax.Array) -> Control:
+        N, K, T = self.num_envs, self.num_agents, self.num_targets
+        ctrl = super().pre_physics(state, actions)  # OSC on actions[:, :6]
+        # gripper: open/close position targets (franka_cube_stack convention)
+        grip_target = jnp.where(actions[:, 6] >= 0.0, 0.035, 0.0)
+        pos_target = ctrl.pos_target
+        ge = grip_target.reshape(N, K)
+        for k in range(K):
+            for d in self.gripper_dofs[k]:
+                pos_target = pos_target.at[:, d].set(ge[:, k])
+        # grab activation: holding agents pin their nearest cube
+        eef, cube, min_rel, nearest, nearest_pos = self._nearest(state.sim)
+        md = jnp.linalg.norm(min_rel, axis=-1)
+        gripper_closed = (actions[:, 6].reshape(N, K) < 0.0)
+        holding = (md <= CUBE_SIZE * 0.5 * 0.9) & gripper_closed
+        grab = (holding[:, :, None]
+                & (jax.nn.one_hot(nearest, T, dtype=jnp.bool_))).reshape(N, K * T)
+        return ctrl._replace(pos_target=pos_target,
+                             grab_active=grab.astype(jnp.float32))
+
+    # ------------------------------------------------------------------
+    def post_physics(self, state: EnvState, out, actions):
+        N, K, T = self.num_envs, self.num_agents, self.num_targets
+        B = N * K
+        eef_pos = out.body_pos[:, self.grip_bodies]
+        eef_quat = out.body_quat[:, self.grip_bodies]
+        cube = self._cube_positions(state.sim)
+        rel = cube[:, None] - eef_pos[:, :, None]
+        dist = jnp.linalg.norm(rel, axis=-1)
+        nearest = jnp.argmin(dist, axis=-1)
+        min_rel = jnp.take_along_axis(
+            rel, nearest[..., None, None].repeat(3, -1), axis=2)[:, :, 0]
+        nearest_pos = jnp.take_along_axis(
+            cube, nearest[..., None].repeat(3, -1), axis=1)
+        md = jnp.linalg.norm(min_rel, axis=-1)                  # (N, K)
+
+        gripper_closed = (actions[:, 6].reshape(N, K) < 0.0)
+        fsm = self._fsm(md, gripper_closed, nearest_pos)        # (N, K)
+        gfsm = self._global_fsm(fsm)                            # (N,)
+
+        obs_all_targets = jnp.repeat(cube.reshape(N, T * 3), K, axis=0)
+        obs_self = jnp.concatenate([
+            eef_quat.reshape(B, 4), eef_pos.reshape(B, 3), min_rel.reshape(B, 3),
+            jnp.tile(self.base_pos, (N, 1)),
+            jnp.tile(self.base_quat, (N, 1)),
+        ], -1)
+        flat = eef_pos.reshape(N, K * 3)
+        others = jnp.stack([jnp.roll(flat, -3 * k, -1) for k in range(K)],
+                           1)[..., 3:].reshape(B, 3 * (K - 1))
+        obs_fsm = jnp.stack([fsm.reshape(B), fsm.reshape(B)], -1).astype(jnp.float32)
+        obs = jnp.concatenate([obs_all_targets, obs_self, others, obs_fsm], -1)
+
+        # FSM-staged reward (ref :1083-1177)
+        mdf = md.reshape(B)
+        fsm_f = fsm.reshape(B)
+        ga = actions[:, 6]
+        r = jnp.zeros(B)
+        r += jnp.where(fsm_f == 0, jnp.exp(-5.0 * mdf**2), 0.0)
+        r += jnp.where(fsm_f == 1, jnp.exp(-1.0 * ga), 0.0)
+        lift = (nearest_pos[..., 2].reshape(B) - 1.05) / (WALL_HEIGHT + CUBE_SIZE / 2)
+        r += jnp.where(fsm_f == 2, lift, 0.0)
+        d_y = jnp.abs(nearest_pos[..., 1].reshape(B) - (WALL_Y + CUBE_SIZE * 2.0))
+        r += jnp.where(fsm_f == 3, jnp.exp(-5.0 * d_y**2), 0.0)
+        d_z = jnp.abs(nearest_pos[..., 2].reshape(B) - (WALL_HEIGHT / 2 + 1.05))
+        r += jnp.where(fsm_f == 4, jnp.exp(-5.0 * d_z**2), 0.0)
+        r += jnp.where(fsm_f == 5, jnp.exp(4.0 * ga), 0.0)
+        r += jnp.where(fsm_f == 6, 3.0, 0.0)
+        r += fsm_f.astype(jnp.float32)  # BSR
+        rew = jnp.maximum(r, 0.0)
+
+        reset = jnp.where(state.progress >= self.max_episode_length - 1, 1, 0)
+        task = CollectTaskState(actions=actions, fsm=fsm)
+        extras = {"gFSM_mean": jnp.mean(gfsm.astype(jnp.float32))}
+        return obs, None, rew, reset.astype(jnp.int32), task, extras

@@ -98,16 +98,19 @@ class FrankaMATaskState(NamedTuple):
 class FrankaReachMA(VecTaskBase):
     """Also the base class for the other MA variants (Collect/PP/Combine)."""
 
+    NUM_ACTIONS = 6
+
+    def _obs_dim(self, K, T):
+        return (3 + 4 + 3) + 3 * T + 3 * (K - 1)
+
     def __init__(self, cfg):
         e = cfg["env"]
         self.num_agents_cfg = int(e.get("numAgents", 2))
         self.num_targets = int(e.get("numTargets", -1))
         if self.num_targets <= -1:
             self.num_targets = self.num_agents_cfg
-        base_obs = 3 + 4 + 3  # eef quat+pos + min-relative
-        e["numObservations"] = (base_obs + 3 * self.num_targets
-                                + 3 * (self.num_agents_cfg - 1))
-        e["numActions"] = 6
+        e["numObservations"] = self._obs_dim(self.num_agents_cfg, self.num_targets)
+        e["numActions"] = self.NUM_ACTIONS
         self.action_scale = float(e["actionScale"])
         self.start_position_noise = float(e["startPositionNoise"])
         self.franka_dof_noise = float(e["frankaDofNoise"])
@@ -299,8 +302,8 @@ class FrankaReachMA(VecTaskBase):
                 masked_update(mask, cq, q[:, qa: qa + 7]))
             qd = qd.at[:, va: va + 6].set(
                 masked_update(mask, jnp.zeros((N, 6)), qd[:, va: va + 6]))
-        task = FrankaMATaskState(actions=masked_update(
-            jnp.repeat(mask, K, 0), jnp.zeros((N * K, 6)), task.actions))
+        task = task._replace(actions=masked_update(
+            jnp.repeat(mask, K, 0), jnp.zeros_like(task.actions), task.actions))
         return SimState(q, qd), task
 
     # ------------------------------------------------------------------
