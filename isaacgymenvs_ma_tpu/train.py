@@ -57,6 +57,11 @@ def launch(argv=None):
     if cfg.get("max_iterations"):
         train_cfg["params"]["config"]["max_epochs"] = int(cfg["max_iterations"])
 
+    # PBT: first-launch mutation restart (reference train.py:88-89)
+    if (cfg.get("pbt") or {}).get("enabled"):
+        from .pbt import initial_pbt_check
+        initial_pbt_check(cfg)
+
     seed = make_seed(int(cfg.get("seed", 42)),
                      rank=jax.process_index(),
                      deterministic=bool(cfg.get("torch_deterministic", False)))
@@ -79,6 +84,11 @@ def launch(argv=None):
             project=cfg.get("wandb_project", "isaacgymenvs_ma_tpu"),
             group=cfg.get("wandb_group", ""), name=cfg.get("wandb_name", exp_name),
             entity=cfg.get("wandb_entity", ""), tags=cfg.get("wandb_tags", [])))
+    pbt_observer = None
+    if (cfg.get("pbt") or {}).get("enabled"):
+        from .pbt import PbtAlgoObserver
+        from .learning import checkpoint as _ck
+        pbt_observer = "placeholder"  # constructed after state init below
     observer = MultiObserver(*observers)
 
     state = agent.init()
@@ -91,6 +101,23 @@ def launch(argv=None):
         state, env_extra, meta = ckpt.load_checkpoint(cfg["checkpoint"], state)
         print(f"restored checkpoint {cfg['checkpoint']} (meta {meta})")
 
+    if pbt_observer is not None:
+        from .pbt import PbtAlgoObserver
+
+        class _StateRef:
+            cur = state
+        self_ref = _StateRef()
+
+        def _save(path):
+            ckpt.save_checkpoint(path, self_ref.cur)
+
+        def _restore(path):
+            self_ref.cur, _, _ = ckpt.load_checkpoint(path, self_ref.cur)
+        pbt_observer = PbtAlgoObserver(cfg, train_cfg, _save, _restore)
+        _pbt_state_ref = self_ref
+    else:
+        _pbt_state_ref = None
+
     if cfg.get("test"):
         return _play(task, agent, state, cfg)
 
@@ -101,6 +128,10 @@ def launch(argv=None):
     t0 = time.time()
     for ep in range(1, max_epochs + 1):
         state, metrics = agent.train_epoch(state)
+        if _pbt_state_ref is not None:
+            _pbt_state_ref.cur = state
+            m_host = {k: float(v) for k, v in metrics.items()}
+            pbt_observer.after_steps(ep, int(m_host["frames"]), m_host)
         if ep % 20 == 0 or ep == max_epochs:
             m = {k: float(v) for k, v in metrics.items()}
             fps = m["frames"] / max(time.time() - t0, 1e-9)
