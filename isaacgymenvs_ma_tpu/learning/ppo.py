@@ -123,6 +123,7 @@ class Rollout(NamedTuple):
     dones: jax.Array
     mu: jax.Array
     sigma: jax.Array
+    aux: Any = ()          # per-step task extras (e.g. AMP observations)
 
 
 class PPOAgent:
@@ -180,6 +181,14 @@ class PPOAgent:
         o = obs_rms.normalize(obs) if self.cfg.normalize_input else obs
         return self.net.apply(params, o)
 
+    def _collect_aux(self, res):
+        """Per-step rollout extras hook (AMP grabs extras['amp_obs'])."""
+        return ()
+
+    def _transform_rewards(self, state: PPOState, roll: Rollout) -> Rollout:
+        """Reward post-processing hook (AMP combines disc rewards here)."""
+        return roll
+
     def _rollout(self, state: PPOState) -> Tuple[PPOState, Rollout, jax.Array, Dict]:
         cfg = self.cfg
         na = self.task.num_agents
@@ -212,7 +221,8 @@ class PPOAgent:
             ep_len = jnp.where(row_done, 0.0, ep_len)
 
             out = Rollout(obs=obs, actions=actions, neglogp=neglogp, values=value,
-                          rewards=rew, dones=done, mu=mu, sigma=sigma)
+                          rewards=rew, dones=done, mu=mu, sigma=sigma,
+                          aux=self._collect_aux(res))
             return (env_state, res.obs, key, ep_ret, ep_len, fin), out
 
         fin0 = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
@@ -284,6 +294,7 @@ class PPOAgent:
     def _train_epoch(self, state: PPOState):
         cfg = self.cfg
         state, roll, last_obs, stats = self._rollout(state)
+        roll = self._transform_rewards(state, roll)
         adv, returns = self._gae(state, roll, last_obs)
 
         # flatten (T, B, ...) -> (T*B, ...)

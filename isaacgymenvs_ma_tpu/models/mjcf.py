@@ -13,6 +13,7 @@ extra joints introduce massless intermediate bodies (standard tree expansion).
 """
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from typing import Dict, Optional
 
@@ -67,9 +68,41 @@ def _collect_defaults(elem: ET.Element, parent: _Defaults, out: Dict[str, _Defau
         _collect_defaults(child, d, out)
 
 
+def _resolve_includes(elem: ET.Element, base_dir: str):
+    """Inline <include file="..."/> elements (OpenAI hand assets use them)."""
+    i = 0
+    children = list(elem)
+    for child in children:
+        _resolve_includes(child, base_dir)
+    while True:
+        incs = [(i, c) for i, c in enumerate(list(elem)) if c.tag == "include"]
+        if not incs:
+            break
+        idx, inc = incs[0]
+        path = os.path.join(base_dir, inc.get("file"))
+        sub = ET.parse(path).getroot()
+        _resolve_includes(sub, os.path.dirname(path))
+        elem.remove(inc)
+        # mujoco <include> splices the included file's children in place
+        for j, c in enumerate(list(sub)):
+            elem.insert(idx + j, c)
+    return elem
+
+
 class MJCFParser:
-    def __init__(self, xml_text: str):
+    def __init__(self, xml_text: str, base_dir: str = "."):
         self.root = ET.fromstring(xml_text)
+        _resolve_includes(self.root, base_dir)
+        # merge worldbody/default/actuator sections that includes may add
+        # (mujoco merges same-tag top-level sections)
+        for tag in ("worldbody", "default", "actuator", "asset"):
+            sections = self.root.findall(tag)
+            if len(sections) > 1:
+                first = sections[0]
+                for extra in sections[1:]:
+                    for c in list(extra):
+                        first.append(c)
+                    self.root.remove(extra)
         compiler = self.root.find("compiler")
         self.degrees = (compiler is None) or (compiler.get("angle", "degree") == "degree")
         self.classes: Dict[str, _Defaults] = {"__root__": _Defaults()}
@@ -231,7 +264,9 @@ class MJCFParser:
 def load_mjcf(path_or_text: str) -> SceneModel:
     if path_or_text.lstrip().startswith("<"):
         text = path_or_text
+        base_dir = "."
     else:
         with open(path_or_text) as f:
             text = f.read()
-    return MJCFParser(text).parse()
+        base_dir = os.path.dirname(os.path.abspath(path_or_text))
+    return MJCFParser(text, base_dir).parse()

@@ -252,3 +252,71 @@ def compute_rot(torso_quat, velocity, ang_velocity, targets, torso_positions):
     )
     angle_to_target = walk_target_angle - yaw
     return vel_loc, angvel_loc, roll, pitch, yaw, angle_to_target
+
+
+# ---------------------------------------------------------------------------
+# AMP rotation conversions (reference utils/torch_jit_utils.py:377-567)
+
+
+def quat_to_tan_norm(q: jax.Array) -> jax.Array:
+    """Quaternion -> 6d tangent/normal rotation representation (ref :380-394)."""
+    ref_tan = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 0].set(1.0)
+    tan = quat_apply(q, ref_tan)
+    ref_norm = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 2].set(1.0)
+    norm = quat_apply(q, ref_norm)
+    return jnp.concatenate([tan, norm], axis=-1)
+
+
+def quat_to_exp_map(q: jax.Array) -> jax.Array:
+    """Quaternion -> exponential map (ref :425-434 via angle-axis)."""
+    # angle-axis (ref :397-422)
+    sin_half = jnp.linalg.norm(q[..., 0:3], axis=-1)
+    angle = 2.0 * jnp.arctan2(sin_half, q[..., 3])
+    angle = normalize_angle(angle)
+    axis = q[..., 0:3] / jnp.maximum(sin_half, 1e-9)[..., None]
+    default_axis = jnp.zeros_like(axis).at[..., 2].set(1.0)
+    mask = (sin_half > 1e-5)[..., None]
+    axis = jnp.where(mask, axis, default_axis)
+    return angle[..., None] * axis
+
+
+def exp_map_to_quat(exp_map: jax.Array) -> jax.Array:
+    """Exponential map -> quaternion (ref :437-451)."""
+    angle = jnp.linalg.norm(exp_map, axis=-1)
+    axis = exp_map / jnp.maximum(angle, 1e-9)[..., None]
+    default_axis = jnp.zeros_like(axis).at[..., 2].set(1.0)
+    mask = (angle > 1e-5)[..., None]
+    axis = jnp.where(mask, axis, default_axis)
+    return quat_from_angle_axis(angle, axis)
+
+
+def calc_heading(q: jax.Array) -> jax.Array:
+    """Heading angle about z of the rotated x-axis (ref :533-540)."""
+    ref_dir = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 0].set(1.0)
+    rot_dir = quat_apply(q, ref_dir)
+    return jnp.arctan2(rot_dir[..., 1], rot_dir[..., 0])
+
+
+def calc_heading_quat(q: jax.Array) -> jax.Array:
+    heading = calc_heading(q)
+    axis = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 2].set(1.0)
+    return quat_from_angle_axis(heading, axis)
+
+
+def calc_heading_quat_inv(q: jax.Array) -> jax.Array:
+    """(ref :556-566)."""
+    heading = calc_heading(q)
+    axis = jnp.zeros(q.shape[:-1] + (3,), q.dtype).at[..., 2].set(1.0)
+    return quat_from_angle_axis(-heading, axis)
+
+
+def slerp(q0, q1, t):
+    """Quaternion slerp (batched, ref poselib semantics)."""
+    cos_half = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(cos_half < 0, -q1, q1)
+    cos_half = jnp.abs(cos_half)
+    half = jnp.arccos(jnp.clip(cos_half, -1.0, 1.0))
+    sin_half = jnp.sqrt(jnp.maximum(1.0 - cos_half * cos_half, 1e-12))
+    ratio_a = jnp.where(sin_half > 1e-5, jnp.sin((1 - t) * half) / sin_half, 1 - t)
+    ratio_b = jnp.where(sin_half > 1e-5, jnp.sin(t * half) / sin_half, t)
+    return normalize(ratio_a * q0 + ratio_b * q1)

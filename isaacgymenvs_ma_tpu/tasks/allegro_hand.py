@@ -1,0 +1,78 @@
+"""AllegroHand in-hand cube reorientation (reference tasks/allegro_hand.py,
+732 LoC) — act 16, obs per type {full_no_vel: 50, full: 72, full_state: 88}.
+
+16-dof Allegro hand analog of ShadowHand (same reward/goal machinery, obs-type
+dict ref :108-126).  Kinematics/inertia parsed from the kuka_allegro URDF
+(mesh collisions approximated by palm + fingertip contact boxes/spheres).
+"""
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from ..models.model import (DRIVE_POS, FREE, GEOM_BOX, GEOM_SPHERE, Geom,
+                            ModelBuilder, compose_scene, model_from_spec)
+from ..physics.engine import PhysicsEngine
+from ..utils.config import deep_merge
+from .shadow_hand import ShadowHand, TASK_CFG as SH_CFG, HAND_POS, OBJ_START
+
+TASK_CFG = deep_merge(SH_CFG, {
+    "name": "AllegroHand",
+    "env": {"numEnvs": 8192, "observationType": "full_state"},
+})
+
+FINGERTIPS = ["index_biotac_tip", "middle_biotac_tip", "ring_biotac_tip",
+              "thumb_biotac_tip"]
+OBS_DIMS = {"openai": 42, "full_no_vel": 50, "full": 72, "full_state": 88}
+
+
+class AllegroHand(ShadowHand):
+    num_hand_dofs = 16
+    num_hand_actuated = 16
+    fingertip_names = FINGERTIPS
+    obs_dims = OBS_DIMS
+
+    def create_model(self):
+        from ..models.specs.allegro_hand import SPEC
+        hand = model_from_spec(copy.deepcopy(SPEC))
+        for d in range(hand.nv):
+            hand.dof_drive_mode[d] = DRIVE_POS
+            hand.dof_stiffness[d] = 3.0
+            hand.dof_drive_damping[d] = 0.1
+        # contact approximations: palm box + fingertip spheres
+        palm = hand.body_names.index("palm_link")
+        hand.geoms.append(Geom(body=palm, gtype=GEOM_BOX,
+                               size=np.array([0.02, 0.05, 0.06]),
+                               pos=np.array([-0.01, 0.0, 0.05]),
+                               quat=np.array([0.0, 0, 0, 1]), friction=1.0,
+                               contact=True, name="palm_box"))
+        for n in FINGERTIPS:
+            b = hand.body_names.index(n)
+            hand.geoms.append(Geom(body=b, gtype=GEOM_SPHERE,
+                                   size=np.array([0.012, 0, 0]),
+                                   pos=np.zeros(3),
+                                   quat=np.array([0.0, 0, 0, 1]), friction=1.0,
+                                   contact=True, name=f"tip_{n}"))
+        ob = ModelBuilder()
+        ob.begin_actor()
+        obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
+        ob.add_geom(obj, GEOM_BOX, np.full(3, 0.065 / 2), density=400.0,
+                    name="object_geom")
+        model = compose_scene([
+            (hand, HAND_POS, (0.0, 0.0, 0.0, 1.0)),
+            (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])
+        ft = [model.body_names.index(n) for n in FINGERTIPS]
+        model.sensor_body = np.asarray(ft, np.int32)
+        model.sensor_pos = np.zeros((len(ft), 3))
+        return model, True
+
+    def build_engine(self, model, ground):
+        names = [g.name for g in model.geoms]
+        obj_geom = names.index("object_geom")
+        pairs = [(names.index(n), obj_geom) for n in names
+                 if n.startswith("tip_") or n == "palm_box"]
+        pairs.append((obj_geom, names.index("palm_box")))
+        return PhysicsEngine(model, self.sim_params, ground=ground,
+                             pair_specs=pairs)
+

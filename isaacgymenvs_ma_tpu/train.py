@@ -70,7 +70,14 @@ def launch(argv=None):
           f"devices: {jax.device_count()}")
     task = registry.create_task(task_name, task_cfg, seed=seed,
                                 headless=bool(cfg.get("headless", True)))
-    agent = PPOAgent(task, train_cfg, seed=seed)
+    algo = train_cfg["params"]["algo"]["name"]
+    if algo == "amp_continuous":
+        from .learning.amp import AMPAgent
+        agent = AMPAgent(task, train_cfg, seed=seed)
+    else:
+        # a2c_continuous and a2c_continuous_MA share the core; MA episode
+        # striding is driven by the env's num_agents (A2CAgent_MA.py:44-47)
+        agent = PPOAgent(task, train_cfg, seed=seed)
 
     exp_name = resolve_default(
         train_cfg["params"]["config"].get("name", task_name),

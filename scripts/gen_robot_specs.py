@@ -19,6 +19,7 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "isaacgymenvs_ma_tpu", "mode
 ASSETS = {
     "humanoid": "/root/reference/assets/mjcf/nv_humanoid.xml",
     "amp_humanoid": "/root/reference/assets/mjcf/amp_humanoid.xml",
+    "shadow_hand": "/root/reference/assets/mjcf/open_ai_assets/hand/shadow_hand.xml",
 }
 
 URDF_ASSETS = {
@@ -29,6 +30,10 @@ URDF_ASSETS = {
     # mass properties and contact geoms are attached in models/franka.py
     "franka_panda": (
         "/root/reference/assets/urdf/franka_description/robots/franka_panda_gripper.urdf",
+        dict(fix_base_link=True)),
+    # mesh collisions skipped; fingertip contact boxes attached in the task
+    "allegro_hand": (
+        "/root/reference/assets/urdf/kuka_allegro_description/allegro_touch_sensor.urdf",
         dict(fix_base_link=True)),
 }
 

@@ -1,0 +1,52 @@
+"""Consolidated smoke tests: every registered task builds and steps finitely.
+
+The heavyweight tasks (Franka MA tiers, hands, AMP) get short CPU rollouts —
+the full-length behavioral tests live in their dedicated test files.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isaacgymenvs_ma_tpu.tasks import registry
+from isaacgymenvs_ma_tpu.utils.config import deep_merge
+
+FAST = [
+    ("Ingenuity", 4, 40),
+    ("Quadcopter", 4, 40),
+    ("Anymal", 4, 30),
+]
+HEAVY = [
+    ("FrankaReachMA", 2, 10),
+    ("FrankaCollectMA", 2, 8),
+    ("ShadowHand", 2, 10),
+    ("AllegroHand", 2, 10),
+    ("HumanoidAMP", 2, 10),
+]
+
+
+@pytest.mark.parametrize("name,n,steps", FAST + HEAVY)
+def test_task_steps_finite(name, n, steps):
+    cfg = deep_merge(registry.task_default_config(name),
+                     {"env": {"numEnvs": n}})
+    task = registry.create_task(name, cfg)
+    state = task.initial_state(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            a = 0.3 * jax.random.uniform(
+                ka, (task.rl_games_batch, task.num_actions),
+                minval=-1.0, maxval=1.0)
+            s, res = task.step(s, a)
+            return (s, k), (res.obs, res.rew)
+        return jax.lax.scan(body, (state, key), None, length=steps)
+
+    (s, _), (obs, rew) = run(state, jax.random.PRNGKey(1))
+    assert obs.shape[-1] == task.num_obs
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+    info = task.get_env_info()
+    assert info["agents"] == task.num_agents
