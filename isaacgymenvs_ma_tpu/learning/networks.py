@@ -84,6 +84,34 @@ class CentralValueNet(nn.Module):
         return nn.Dense(1, name="value")(x).squeeze(-1)
 
 
+class AsymActorCritic(nn.Module):
+    """Actor on obs + central-value critic on privileged states."""
+
+    num_actions: int
+    units: Sequence[int] = (256, 128, 64)
+    cv_units: Sequence[int] = (256, 128)
+    activation: str = "elu"
+    fixed_sigma: bool = True
+    sigma_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs, states):
+        trunk = MLP(self.units, self.activation, name="actor_mlp")(obs)
+        mu = nn.Dense(self.num_actions, name="mu",
+                      kernel_init=nn.initializers.variance_scaling(
+                          0.01, "fan_in", "truncated_normal"))(trunk)
+        if self.fixed_sigma:
+            log_sigma = self.param(
+                "log_sigma", nn.initializers.constant(self.sigma_init),
+                (self.num_actions,))
+            log_sigma = jnp.broadcast_to(log_sigma, mu.shape)
+        else:
+            log_sigma = nn.Dense(self.num_actions, name="sigma")(trunk)
+        vtrunk = MLP(self.cv_units, self.activation, name="critic_mlp")(states)
+        value = nn.Dense(1, name="value")(vtrunk)
+        return mu, log_sigma, value.squeeze(-1)
+
+
 def build_network(net_cfg: dict, num_actions: int) -> ActorCritic:
     """Construct from the rl_games ``params.network`` schema."""
     mlp = net_cfg.get("mlp", {})

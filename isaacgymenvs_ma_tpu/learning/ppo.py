@@ -101,9 +101,11 @@ class PPOState(NamedTuple):
     opt_state: Any
     obs_rms: RunningMeanStd
     value_rms: RunningMeanStd
+    states_rms: Any            # RunningMeanStd on privileged states, or ()
     lr: jax.Array
     env_state: Any
     last_obs: jax.Array
+    last_states: Any           # (B, num_states) or ()
     key: jax.Array
     epoch: jax.Array
     frames: jax.Array
@@ -116,6 +118,7 @@ class PPOState(NamedTuple):
 
 class Rollout(NamedTuple):
     obs: jax.Array
+    states: Any
     actions: jax.Array
     neglogp: jax.Array
     values: jax.Array
@@ -132,8 +135,25 @@ class PPOAgent:
     def __init__(self, task, train_cfg: dict, seed: int = 42):
         self.task = task
         self.cfg = PPOConfig.from_train_cfg(train_cfg)
-        self.net = build_network(train_cfg["params"]["network"],
-                                 task.num_actions)
+        # asymmetric central-value critic (rl_games central_value_config,
+        # cfg/train/ShadowHandPPOAsymm.yaml:73-88)
+        cvc = train_cfg["params"]["config"].get("central_value_config")
+        self.use_central_value = bool(cvc) and task.num_states > 0
+        if self.use_central_value:
+            from .networks import AsymActorCritic
+            net_cfg = train_cfg["params"]["network"]
+            cv_units = tuple(cvc.get("network", {}).get("mlp", {})
+                             .get("units", [256, 128]))
+            space = net_cfg.get("space", {}).get("continuous", {})
+            self.net = AsymActorCritic(
+                num_actions=task.num_actions,
+                units=tuple(net_cfg.get("mlp", {}).get("units", (256, 128, 64))),
+                cv_units=cv_units,
+                activation=net_cfg.get("mlp", {}).get("activation", "elu"),
+                fixed_sigma=bool(space.get("fixed_sigma", True)))
+        else:
+            self.net = build_network(train_cfg["params"]["network"],
+                                     task.num_actions)
         self.batch = task.rl_games_batch
         self.horizon = self.cfg.horizon_length
         total = self.batch * self.horizon
@@ -154,8 +174,13 @@ class PPOAgent:
         if key is None:
             key = jax.random.PRNGKey(self.seed)
         k_net, k_env, key = jax.random.split(key, 3)
-        params = self.net.init(
-            k_net, jnp.zeros((1, self.task.num_obs), jnp.float32))
+        if self.use_central_value:
+            params = self.net.init(
+                k_net, jnp.zeros((1, self.task.num_obs), jnp.float32),
+                jnp.zeros((1, self.task.num_states), jnp.float32))
+        else:
+            params = self.net.init(
+                k_net, jnp.zeros((1, self.task.num_obs), jnp.float32))
         env_state = self.task.initial_state(k_env)
         env_state, obs = self.task.reset(env_state)
         nt = self.batch // self.task.num_agents
@@ -164,9 +189,14 @@ class PPOAgent:
             opt_state=self._optim.init(params),
             obs_rms=RunningMeanStd.create((self.task.num_obs,)),
             value_rms=RunningMeanStd.create(()),
+            states_rms=(RunningMeanStd.create((self.task.num_states,))
+                        if self.use_central_value else ()),
             lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
             env_state=env_state,
             last_obs=obs,
+            last_states=(jnp.zeros((self.batch, self.task.num_states),
+                                   jnp.float32)
+                         if self.use_central_value else ()),
             key=key,
             epoch=jnp.asarray(0, jnp.int32),
             frames=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
@@ -177,8 +207,14 @@ class PPOAgent:
         )
 
     # ------------------------------------------------------------------
-    def _policy(self, params, obs_rms, obs):
+    def _policy(self, params, obs_rms, obs, states_rms=None, states=None):
         o = obs_rms.normalize(obs) if self.cfg.normalize_input else obs
+        if self.use_central_value:
+            st = states if states is not None else jnp.zeros(
+                (obs.shape[0], self.task.num_states), obs.dtype)
+            if states_rms is not None and self.cfg.normalize_input:
+                st = states_rms.normalize(st)
+            return self.net.apply(params, o, st)
         return self.net.apply(params, o)
 
     def _collect_aux(self, res):
@@ -194,9 +230,12 @@ class PPOAgent:
         na = self.task.num_agents
 
         def step_fn(carry, _):
-            env_state, obs, key, ep_ret, ep_len, fin = carry
+            env_state, obs, states_c, key, ep_ret, ep_len, fin = carry
             key, k_act = jax.random.split(key)
-            mu, log_sigma, v_norm = self._policy(state.params, state.obs_rms, obs)
+            mu, log_sigma, v_norm = self._policy(
+                state.params, state.obs_rms, obs,
+                states_rms=state.states_rms if self.use_central_value else None,
+                states=states_c if self.use_central_value else None)
             sigma = jnp.exp(log_sigma)
             actions = mu + sigma * jax.random.normal(k_act, mu.shape)
             neglogp = gaussian_neglogp(mu, log_sigma, actions)
@@ -220,17 +259,21 @@ class PPOAgent:
             ep_ret = jnp.where(row_done, 0.0, ep_ret)
             ep_len = jnp.where(row_done, 0.0, ep_len)
 
-            out = Rollout(obs=obs, actions=actions, neglogp=neglogp, values=value,
+            next_states = res.states if self.use_central_value else ()
+            out = Rollout(obs=obs,
+                          states=states_c if self.use_central_value else (),
+                          actions=actions, neglogp=neglogp, values=value,
                           rewards=rew, dones=done, mu=mu, sigma=sigma,
                           aux=self._collect_aux(res))
-            return (env_state, res.obs, key, ep_ret, ep_len, fin), out
+            return (env_state, res.obs, next_states, key, ep_ret, ep_len, fin), out
 
         fin0 = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
-        (env_state, last_obs, key, ep_ret, ep_len, fin), roll = jax.lax.scan(
-            step_fn,
-            (state.env_state, state.last_obs, state.key, state.ep_return,
-             state.ep_length, fin0),
-            None, length=self.horizon)
+        (env_state, last_obs, last_states, key, ep_ret, ep_len, fin), roll = \
+            jax.lax.scan(
+                step_fn,
+                (state.env_state, state.last_obs, state.last_states, state.key,
+                 state.ep_return, state.ep_length, fin0),
+                None, length=self.horizon)
 
         fin_sum, fin_len, fin_cnt = fin
         has = fin_cnt > 0
@@ -238,7 +281,8 @@ class PPOAgent:
                                 state.mean_return)
         mean_length = jnp.where(has, fin_len / jnp.maximum(fin_cnt, 1.0),
                                 state.mean_length)
-        state = state._replace(env_state=env_state, last_obs=last_obs, key=key,
+        state = state._replace(env_state=env_state, last_obs=last_obs,
+                               last_states=last_states, key=key,
                                ep_return=ep_ret, ep_length=ep_len,
                                mean_return=mean_return, mean_length=mean_length)
         stats = {"episodes_done": fin_cnt}
@@ -246,7 +290,10 @@ class PPOAgent:
 
     def _gae(self, state: PPOState, roll: Rollout, last_obs: jax.Array):
         cfg = self.cfg
-        _, _, v_norm = self._policy(state.params, state.obs_rms, last_obs)
+        _, _, v_norm = self._policy(
+            state.params, state.obs_rms, last_obs,
+            states_rms=state.states_rms if self.use_central_value else None,
+            states=state.last_states if self.use_central_value else None)
         last_value = state.value_rms.denormalize(v_norm) if cfg.normalize_value else v_norm
 
         def scan_fn(lastgaelam, inp):
@@ -265,8 +312,12 @@ class PPOAgent:
 
     def _loss(self, params, mb, value_rms):
         cfg = self.cfg
-        obs, actions, old_neglogp, old_values_n, adv, returns_n, old_mu, old_sigma = mb
-        mu, log_sigma, v_pred_n = self.net.apply(params, obs)
+        (obs, states, actions, old_neglogp, old_values_n, adv, returns_n,
+         old_mu, old_sigma) = mb
+        if self.use_central_value:
+            mu, log_sigma, v_pred_n = self.net.apply(params, obs, states)
+        else:
+            mu, log_sigma, v_pred_n = self.net.apply(params, obs)
         neglogp = gaussian_neglogp(mu, log_sigma, actions)
         ratio = jnp.exp(old_neglogp - neglogp)
         surr1 = adv * ratio
@@ -322,8 +373,15 @@ class PPOAgent:
         if cfg.normalize_advantage:
             adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
 
-        data = (obs_train, flat(roll.actions), flat(roll.neglogp), old_values_n,
-                adv_f, returns_n, flat(roll.mu), flat(roll.sigma))
+        if self.use_central_value:
+            states_f = flat(roll.states)
+            states_train = state.states_rms.normalize(states_f) \
+                if self.cfg.normalize_input else states_f
+            state = state._replace(states_rms=state.states_rms.update(states_f))
+        else:
+            states_train = jnp.zeros((obs_train.shape[0], 0), jnp.float32)
+        data = (obs_train, states_train, flat(roll.actions), flat(roll.neglogp),
+                old_values_n, adv_f, returns_n, flat(roll.mu), flat(roll.sigma))
 
         key, k_perm = jax.random.split(state.key)
         total = obs_f.shape[0]
