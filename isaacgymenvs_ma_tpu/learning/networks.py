@@ -145,3 +145,38 @@ def gaussian_kl(mu0, log_s0, mu1, log_s1):
     v0, v1 = jnp.exp(2 * log_s0), jnp.exp(2 * log_s1)
     return jnp.sum(
         log_s1 - log_s0 + (v0 + jnp.square(mu0 - mu1)) / (2.0 * v1) - 0.5, axis=-1)
+
+
+class ActorCriticLSTM(nn.Module):
+    """MLP trunk -> LSTM -> heads (rl_games ``rnn: {name: lstm}`` networks,
+    e.g. cfg/train/ShadowHandPPOLSTM; trained with seq_len truncated BPTT)."""
+
+    num_actions: int
+    units: Sequence[int] = (256, 128, 64)
+    lstm_units: int = 256
+    activation: str = "elu"
+    fixed_sigma: bool = True
+    sigma_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs, carry):
+        """obs (B, obs_dim), carry = (h, c) each (B, lstm_units)."""
+        x = MLP(self.units, self.activation, name="actor_mlp")(obs)
+        cell = nn.OptimizedLSTMCell(self.lstm_units, name="lstm")
+        (c, h), y = cell((carry[1], carry[0]), x)
+        mu = nn.Dense(self.num_actions, name="mu",
+                      kernel_init=nn.initializers.variance_scaling(
+                          0.01, "fan_in", "truncated_normal"))(y)
+        value = nn.Dense(1, name="value")(y).squeeze(-1)
+        if self.fixed_sigma:
+            log_sigma = self.param(
+                "log_sigma", nn.initializers.constant(self.sigma_init),
+                (self.num_actions,))
+            log_sigma = jnp.broadcast_to(log_sigma, mu.shape)
+        else:
+            log_sigma = nn.Dense(self.num_actions, name="sigma")(y)
+        return mu, log_sigma, value, (h, c)
+
+    def initial_carry(self, batch: int):
+        z = jnp.zeros((batch, self.lstm_units), jnp.float32)
+        return (z, z)

@@ -106,6 +106,7 @@ class PPOState(NamedTuple):
     env_state: Any
     last_obs: jax.Array
     last_states: Any           # (B, num_states) or ()
+    carry: Any                 # LSTM (h, c) per batch row, or ()
     key: jax.Array
     epoch: jax.Array
     frames: jax.Array
@@ -119,6 +120,7 @@ class PPOState(NamedTuple):
 class Rollout(NamedTuple):
     obs: jax.Array
     states: Any
+    carry: Any
     actions: jax.Array
     neglogp: jax.Array
     values: jax.Array
@@ -154,12 +156,31 @@ class PPOAgent:
         else:
             self.net = build_network(train_cfg["params"]["network"],
                                      task.num_actions)
+        # rl_games rnn networks (seq_len truncated BPTT)
+        rnn_cfg = train_cfg["params"]["network"].get("rnn")
+        self.is_rnn = bool(rnn_cfg) and not self.use_central_value
+        if self.is_rnn:
+            from .networks import ActorCriticLSTM
+            net_cfg = train_cfg["params"]["network"]
+            space = net_cfg.get("space", {}).get("continuous", {})
+            self.seq_len = int(train_cfg["params"]["config"].get("seq_len", 4))
+            self.net = ActorCriticLSTM(
+                num_actions=task.num_actions,
+                units=tuple(net_cfg.get("mlp", {}).get("units", (256, 128, 64))),
+                lstm_units=int(rnn_cfg.get("units", 256)),
+                activation=net_cfg.get("mlp", {}).get("activation", "elu"),
+                fixed_sigma=bool(space.get("fixed_sigma", True)))
         self.batch = task.rl_games_batch
         self.horizon = self.cfg.horizon_length
         total = self.batch * self.horizon
         assert total % self.cfg.minibatch_size == 0, (
             f"batch {total} not divisible by minibatch {self.cfg.minibatch_size}")
         self.num_minibatches = total // self.cfg.minibatch_size
+        if self.is_rnn:
+            assert self.horizon % self.seq_len == 0
+            self.seqs_total = (self.horizon // self.seq_len) * self.batch
+            self.mb_seqs = max(self.cfg.minibatch_size // self.seq_len, 1)
+            self.num_minibatches = max(self.seqs_total // self.mb_seqs, 1)
         self.seed = seed
         self._optim = optax.chain(
             optax.clip_by_global_norm(self.cfg.grad_norm)
@@ -178,12 +199,17 @@ class PPOAgent:
             params = self.net.init(
                 k_net, jnp.zeros((1, self.task.num_obs), jnp.float32),
                 jnp.zeros((1, self.task.num_states), jnp.float32))
+        elif self.is_rnn:
+            params = self.net.init(
+                k_net, jnp.zeros((1, self.task.num_obs), jnp.float32),
+                self.net.initial_carry(1))
         else:
             params = self.net.init(
                 k_net, jnp.zeros((1, self.task.num_obs), jnp.float32))
         env_state = self.task.initial_state(k_env)
         env_state, obs = self.task.reset(env_state)
         nt = self.batch // self.task.num_agents
+        carry0 = self.net.initial_carry(self.batch) if self.is_rnn else ()
         return PPOState(
             params=params,
             opt_state=self._optim.init(params),
@@ -197,6 +223,7 @@ class PPOAgent:
             last_states=(jnp.zeros((self.batch, self.task.num_states),
                                    jnp.float32)
                          if self.use_central_value else ()),
+            carry=carry0,
             key=key,
             epoch=jnp.asarray(0, jnp.int32),
             frames=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
@@ -230,12 +257,18 @@ class PPOAgent:
         na = self.task.num_agents
 
         def step_fn(carry, _):
-            env_state, obs, states_c, key, ep_ret, ep_len, fin = carry
+            env_state, obs, states_c, rnn_c, key, ep_ret, ep_len, fin = carry
             key, k_act = jax.random.split(key)
-            mu, log_sigma, v_norm = self._policy(
-                state.params, state.obs_rms, obs,
-                states_rms=state.states_rms if self.use_central_value else None,
-                states=states_c if self.use_central_value else None)
+            if self.is_rnn:
+                o = state.obs_rms.normalize(obs) if cfg.normalize_input else obs
+                mu, log_sigma, v_norm, rnn_next = self.net.apply(
+                    state.params, o, rnn_c)
+            else:
+                rnn_next = ()
+                mu, log_sigma, v_norm = self._policy(
+                    state.params, state.obs_rms, obs,
+                    states_rms=state.states_rms if self.use_central_value else None,
+                    states=states_c if self.use_central_value else None)
             sigma = jnp.exp(log_sigma)
             actions = mu + sigma * jax.random.normal(k_act, mu.shape)
             neglogp = gaussian_neglogp(mu, log_sigma, actions)
@@ -260,20 +293,26 @@ class PPOAgent:
             ep_len = jnp.where(row_done, 0.0, ep_len)
 
             next_states = res.states if self.use_central_value else ()
+            if self.is_rnn:
+                # reset hidden state at episode boundaries
+                rnn_next = tuple(jnp.where(done[:, None], 0.0, x)
+                                 for x in rnn_next)
             out = Rollout(obs=obs,
                           states=states_c if self.use_central_value else (),
+                          carry=rnn_c if self.is_rnn else (),
                           actions=actions, neglogp=neglogp, values=value,
                           rewards=rew, dones=done, mu=mu, sigma=sigma,
                           aux=self._collect_aux(res))
-            return (env_state, res.obs, next_states, key, ep_ret, ep_len, fin), out
+            return (env_state, res.obs, next_states, rnn_next, key,
+                    ep_ret, ep_len, fin), out
 
         fin0 = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
-        (env_state, last_obs, last_states, key, ep_ret, ep_len, fin), roll = \
-            jax.lax.scan(
-                step_fn,
-                (state.env_state, state.last_obs, state.last_states, state.key,
-                 state.ep_return, state.ep_length, fin0),
-                None, length=self.horizon)
+        (env_state, last_obs, last_states, last_carry, key, ep_ret, ep_len,
+         fin), roll = jax.lax.scan(
+            step_fn,
+            (state.env_state, state.last_obs, state.last_states, state.carry,
+             state.key, state.ep_return, state.ep_length, fin0),
+            None, length=self.horizon)
 
         fin_sum, fin_len, fin_cnt = fin
         has = fin_cnt > 0
@@ -283,6 +322,7 @@ class PPOAgent:
                                 state.mean_length)
         state = state._replace(env_state=env_state, last_obs=last_obs,
                                last_states=last_states, key=key,
+                               carry=last_carry if self.is_rnn else state.carry,
                                ep_return=ep_ret, ep_length=ep_len,
                                mean_return=mean_return, mean_length=mean_length)
         stats = {"episodes_done": fin_cnt}
@@ -290,10 +330,15 @@ class PPOAgent:
 
     def _gae(self, state: PPOState, roll: Rollout, last_obs: jax.Array):
         cfg = self.cfg
-        _, _, v_norm = self._policy(
-            state.params, state.obs_rms, last_obs,
-            states_rms=state.states_rms if self.use_central_value else None,
-            states=state.last_states if self.use_central_value else None)
+        if self.is_rnn:
+            o = state.obs_rms.normalize(last_obs) if cfg.normalize_input \
+                else last_obs
+            _, _, v_norm, _ = self.net.apply(state.params, o, state.carry)
+        else:
+            _, _, v_norm = self._policy(
+                state.params, state.obs_rms, last_obs,
+                states_rms=state.states_rms if self.use_central_value else None,
+                states=state.last_states if self.use_central_value else None)
         last_value = state.value_rms.denormalize(v_norm) if cfg.normalize_value else v_norm
 
         def scan_fn(lastgaelam, inp):
@@ -342,6 +387,49 @@ class PPOAgent:
         kl = gaussian_kl(old_mu, jnp.log(old_sigma), mu, log_sigma).mean()
         return total, (a_loss, c_loss, entropy, kl)
 
+    def _loss_rnn(self, params, mb, value_rms):
+        """Truncated-BPTT PPO loss over (mb, L, ...) sequences."""
+        cfg = self.cfg
+        (obs, h0, c0, actions, old_neglogp, old_values_n, adv, returns_n,
+         old_mu, old_sigma) = mb
+
+        def fwd(carry, t):
+            mu_t, ls_t, v_t, carry = self.net.apply(params, obs[:, t], carry)
+            return carry, (mu_t, ls_t, v_t)
+
+        _, (mu, log_sigma, v_pred_n) = jax.lax.scan(
+            fwd, (h0, c0), jnp.arange(obs.shape[1]))
+        # scan stacks over time first: (L, mb, ...) -> flatten with targets
+        def tflat(x):  # (mb, L, ...) -> (L*mb, ...)
+            return jnp.swapaxes(x, 0, 1).reshape((-1,) + x.shape[2:])
+        mu = mu.reshape((-1,) + mu.shape[2:])
+        log_sigma = log_sigma.reshape((-1,) + log_sigma.shape[2:])
+        v_pred_n = v_pred_n.reshape(-1)
+        actions, old_neglogp = tflat(actions), tflat(old_neglogp)
+        old_values_n, adv, returns_n = tflat(old_values_n), tflat(adv), tflat(returns_n)
+        old_mu, old_sigma = tflat(old_mu), tflat(old_sigma)
+
+        neglogp = gaussian_neglogp(mu, log_sigma, actions)
+        ratio = jnp.exp(old_neglogp - neglogp)
+        surr1 = adv * ratio
+        surr2 = adv * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
+        a_loss = -jnp.minimum(surr1, surr2).mean()
+        if cfg.clip_value:
+            v_clipped = old_values_n + jnp.clip(
+                v_pred_n - old_values_n, -cfg.e_clip, cfg.e_clip)
+            c_loss = jnp.maximum(jnp.square(v_pred_n - returns_n),
+                                 jnp.square(v_clipped - returns_n)).mean()
+        else:
+            c_loss = jnp.square(v_pred_n - returns_n).mean()
+        entropy = gaussian_entropy(log_sigma).mean()
+        b_loss = jnp.sum(
+            jnp.square(jnp.maximum(mu - 1.1, 0.0))
+            + jnp.square(jnp.minimum(mu + 1.1, 0.0)), axis=-1).mean()
+        total = (a_loss + 0.5 * cfg.critic_coef * c_loss
+                 - cfg.entropy_coef * entropy + cfg.bounds_loss_coef * b_loss)
+        kl = gaussian_kl(old_mu, jnp.log(old_sigma), mu, log_sigma).mean()
+        return total, (a_loss, c_loss, entropy, kl)
+
     def _train_epoch(self, state: PPOState):
         cfg = self.cfg
         state, roll, last_obs, stats = self._rollout(state)
@@ -380,11 +468,44 @@ class PPOAgent:
             state = state._replace(states_rms=state.states_rms.update(states_f))
         else:
             states_train = jnp.zeros((obs_train.shape[0], 0), jnp.float32)
-        data = (obs_train, states_train, flat(roll.actions), flat(roll.neglogp),
-                old_values_n, adv_f, returns_n, flat(roll.mu), flat(roll.sigma))
+        if self.is_rnn:
+            # sequence layout for truncated BPTT: (T, B, ...) ->
+            # (B * T/L, L, ...) with the stored hidden state at each
+            # sequence start (rl_games seq_len semantics)
+            L = self.seq_len
+            S = self.horizon // L
+            T, B = self.horizon, self.batch
+
+            def seq(x):
+                x2 = x.reshape((S, L, B) + x.shape[2:])
+                return jnp.moveaxis(x2, 2, 0).reshape((B * S, L) + x.shape[2:])
+
+            obs_norm_t = state.obs_rms.normalize(roll.obs) \
+                if cfg.normalize_input else roll.obs
+            adv_t = adv
+            if cfg.normalize_advantage:
+                adv_t = (adv_t - adv_t.mean()) / (adv_t.std() + 1e-8)
+            rtn_t = state.value_rms.normalize(returns, clip=1e8) \
+                if cfg.normalize_value else returns
+            val_t = state.value_rms.normalize(roll.values, clip=1e8) \
+                if cfg.normalize_value else roll.values
+            carry0 = tuple(
+                jnp.moveaxis(c.reshape(S, L, B, -1)[:, 0], 1, 0).reshape(B * S, -1)
+                for c in roll.carry)
+            data = (seq(obs_norm_t), carry0[0], carry0[1], seq(roll.actions),
+                    seq(roll.neglogp), seq(val_t), seq(adv_t), seq(rtn_t),
+                    seq(roll.mu), seq(roll.sigma))
+            total = B * S
+            mb_size = self.mb_seqs
+            loss_fn = self._loss_rnn
+        else:
+            data = (obs_train, states_train, flat(roll.actions), flat(roll.neglogp),
+                    old_values_n, adv_f, returns_n, flat(roll.mu), flat(roll.sigma))
+            total = obs_f.shape[0]
+            mb_size = cfg.minibatch_size
+            loss_fn = self._loss
 
         key, k_perm = jax.random.split(state.key)
-        total = obs_f.shape[0]
 
         def mini_epoch(carry, k):
             params, opt_state, lr = carry
@@ -394,7 +515,7 @@ class PPOAgent:
                 params, opt_state, lr = carry2
                 mb = tuple(jax.tree.map(lambda x: x[idx], d) for d in data)
                 (loss, (a_l, c_l, ent, kl)), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, mb, state.value_rms)
+                    loss_fn, has_aux=True)(params, mb, state.value_rms)
                 updates, opt_state = self._optim.update(grads, opt_state, params)
                 updates = jax.tree.map(lambda u: lr * u, updates)
                 params = optax.apply_updates(params, updates)
@@ -405,8 +526,8 @@ class PPOAgent:
                                    jnp.minimum(lr * 1.5, 1e-2), lr)
                 return (params, opt_state, lr), (loss, a_l, c_l, ent, kl)
 
-            idxs = perm[: self.num_minibatches * cfg.minibatch_size].reshape(
-                self.num_minibatches, cfg.minibatch_size)
+            idxs = perm[: self.num_minibatches * mb_size].reshape(
+                self.num_minibatches, mb_size)
             carry, metrics = jax.lax.scan(mb_step, (params, opt_state, lr), idxs)
             return carry, metrics
 
