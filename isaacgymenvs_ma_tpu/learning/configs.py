@@ -182,6 +182,27 @@ _TRAIN: Dict[str, dict] = {
 }
 
 
+# SAC variant (cfg/train/AntSAC.yaml)
+_TRAIN["AntSAC"] = {
+    "params": {
+        "seed": 42,
+        "algo": {"name": "sac"},
+        "model": {"name": "soft_actor_critic"},
+        "network": {"name": "soft_actor_critic", "separate": True,
+                    "mlp": {"units": [512, 256], "activation": "relu"}},
+        "config": {
+            "name": "AntSAC", "env_name": "rlgpu", "normalize_input": True,
+            "gamma": 0.99, "critic_tau": 0.005, "batch_size": 4096,
+            "init_alpha": 1.0, "alpha_lr": 0.005, "actor_lr": 0.0005,
+            "critic_lr": 0.0005, "learnable_temperature": True,
+            "num_seed_steps": 5, "num_steps_per_episode": 8,
+            "replay_buffer_size": 1000000, "max_epochs": 10000,
+            "save_frequency": 1000,
+        },
+    }
+}
+
+
 def train_default_config(task_name: str) -> dict:
     if task_name not in _TRAIN:
         # sensible default for unlisted tasks

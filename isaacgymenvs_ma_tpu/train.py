@@ -74,6 +74,9 @@ def launch(argv=None):
     if algo == "amp_continuous":
         from .learning.amp import AMPAgent
         agent = AMPAgent(task, train_cfg, seed=seed)
+    elif algo == "sac":
+        from .learning.sac import SACAgent
+        agent = SACAgent(task, train_cfg, seed=seed)
     else:
         # a2c_continuous and a2c_continuous_MA share the core; MA episode
         # striding is driven by the env's num_agents (A2CAgent_MA.py:44-47)
