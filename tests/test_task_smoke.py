@@ -16,6 +16,8 @@ FAST = [
     ("Quadcopter", 4, 40),
     ("Anymal", 4, 30),
 ]
+# the heavyweight scenes compile for minutes each on the CPU mesh; they are
+# covered by their dedicated test files and kept here behind -m slow
 HEAVY = [
     ("FrankaReachMA", 2, 10),
     ("FrankaCollectMA", 2, 8),
@@ -25,7 +27,7 @@ HEAVY = [
 ]
 
 
-@pytest.mark.parametrize("name,n,steps", FAST + HEAVY)
+@pytest.mark.parametrize("name,n,steps", FAST)
 def test_task_steps_finite(name, n, steps):
     cfg = deep_merge(registry.task_default_config(name),
                      {"env": {"numEnvs": n}})
@@ -50,3 +52,9 @@ def test_task_steps_finite(name, n, steps):
     assert np.isfinite(np.asarray(rew)).all()
     info = task.get_env_info()
     assert info["agents"] == task.num_agents
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,n,steps", HEAVY)
+def test_heavy_task_steps_finite(name, n, steps):
+    test_task_steps_finite.__wrapped__(name, n, steps)
