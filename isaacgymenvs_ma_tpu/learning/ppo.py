@@ -364,7 +364,7 @@ class PPOAgent:
         else:
             mu, log_sigma, v_pred_n = self.net.apply(params, obs)
         neglogp = gaussian_neglogp(mu, log_sigma, actions)
-        ratio = jnp.exp(old_neglogp - neglogp)
+        ratio = jnp.exp(jnp.clip(old_neglogp - neglogp, -20.0, 20.0))
         surr1 = adv * ratio
         surr2 = adv * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
         a_loss = -jnp.minimum(surr1, surr2).mean()
@@ -410,7 +410,7 @@ class PPOAgent:
         old_mu, old_sigma = tflat(old_mu), tflat(old_sigma)
 
         neglogp = gaussian_neglogp(mu, log_sigma, actions)
-        ratio = jnp.exp(old_neglogp - neglogp)
+        ratio = jnp.exp(jnp.clip(old_neglogp - neglogp, -20.0, 20.0))
         surr1 = adv * ratio
         surr2 = adv * jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip)
         a_loss = -jnp.minimum(surr1, surr2).mean()

@@ -384,10 +384,17 @@ class ModelBuilder:
         dof_lower = cat("limit_lower", -1e9)
         dof_upper = cat("limit_upper", 1e9)
         has_limit = (dof_lower > -1e8) | (dof_upper < 1e8)
-        # free-joint dofs never have limits
+        vel_limit = cat("velocity_limit", 1e9)
+        # free-joint dofs never have limits; clamp their velocities to the
+        # PhysX defaults (maxLinearVelocity 1000, maxAngularVelocity 64) so
+        # contact blow-ups cannot propagate unbounded energy
         for i, b in enumerate(self.bodies):
             if b.jnt_type == FREE:
                 has_limit[v_adr[i]: v_adr[i] + 6] = False
+                vel_limit[v_adr[i]: v_adr[i] + 3] = np.minimum(
+                    vel_limit[v_adr[i]: v_adr[i] + 3], 1000.0)
+                vel_limit[v_adr[i] + 3: v_adr[i] + 6] = np.minimum(
+                    vel_limit[v_adr[i] + 3: v_adr[i] + 6], 64.0)
 
         act_dof = np.array(
             [v_adr[b] + k for (b, k) in self.actuator_dof], np.int32
@@ -417,7 +424,7 @@ class ModelBuilder:
             dof_spring=cat("spring", 0.0),
             dof_armature=cat("armature", 0.0),
             dof_effort_limit=cat("effort_limit", 1e9),
-            dof_velocity_limit=cat("velocity_limit", 1e9),
+            dof_velocity_limit=vel_limit,
             dof_drive_mode=np.full(nv, DRIVE_NONE, np.int32),
             dof_stiffness=np.zeros(nv),
             dof_drive_damping=np.zeros(nv),

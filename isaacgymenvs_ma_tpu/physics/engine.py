@@ -50,6 +50,7 @@ class SimParams(NamedTuple):
     relaxation: float = 0.35        # Jacobi relaxation
     baumgarte: float = 0.2          # error-correction fraction per substep
     contact_slop: float = 0.001     # penetration tolerance (m)
+    max_depenetration_velocity: float = 10.0  # physx cfg parity
     plane_friction: float = 1.0
     plane_restitution: float = 0.0
 
@@ -686,6 +687,8 @@ class PhysicsEngine:
         w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
 
         b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
+        # cap the push-out velocity (PhysX max_depenetration_velocity)
+        b_n = jnp.minimum(b_n, pr.max_depenetration_velocity)
 
         # joint limit rows
         lo_gap = qpos_dof - self.dof_lower                     # >= 0 when inside

@@ -60,6 +60,8 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         substeps=int(sim_cfg.get("substeps", 2)),
         gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
         num_iterations=max(2 * n_iter, 8),
+        max_depenetration_velocity=float(
+            physx.get("max_depenetration_velocity", 10.0)),
     )
 
 
