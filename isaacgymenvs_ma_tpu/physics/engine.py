@@ -735,14 +735,13 @@ class PhysicsEngine:
             g_J = g_HJ = g_W = g_b = g_act = lam_g = None
 
         if self.attractors:
-            att_p, att_J, att_b, att_wd = [], [], [], []
+            att_J, att_b = [], []
             S_ang = S[:, None, :, 0:3]
             S_lin = S[:, None, :, 3:6]
             for a in self.attractors:
                 pa = (body_x[:, a["body"]]
                       + maths.quat_apply(body_q[:, a["body"]], a["offset"]))[:, None]
                 Ja = (S_lin + _cross(S_ang, pa[:, :, None, :])) * a["mask"][None, None, :, None]
-                att_p.append(pa)
                 att_J.append(Ja)
                 att_b.append(-pr.baumgarte / h * (pa - a["target"]))
             att_J = jnp.concatenate(att_J, 1)                  # (N, A, nv, 3)

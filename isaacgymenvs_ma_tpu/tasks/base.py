@@ -170,6 +170,20 @@ class VecTaskBase:
             sim, out = self.engine.step(sim, ctrl, terrain=self.terrain,
                                         phys=state.phys)
 
+        # ---- sim-health safety net ----
+        # An iterative velocity-level contact solver can diverge for a few
+        # envs under extreme learned gaits (PhysX's TGS has the same failure
+        # mode, hidden behind its internal clamps).  Detect exploded envs,
+        # sanitize their state, and force-reset them next step so one bad env
+        # cannot poison the batch with unbounded rewards.
+        unhealthy = (~jnp.isfinite(sim.q).all(axis=-1)
+                     | ~jnp.isfinite(sim.qd).all(axis=-1)
+                     | (jnp.abs(sim.qd).max(axis=-1) > 500.0))
+        sim = SimState(
+            jnp.where(unhealthy[:, None], jnp.nan_to_num(sim.q), sim.q),
+            jnp.where(unhealthy[:, None],
+                      jnp.clip(jnp.nan_to_num(sim.qd), -500.0, 500.0), sim.qd))
+
         # ---- post physics (ant.py:287-297 ordering) ----
         progress = state.progress + 1
         task = state.task
@@ -190,9 +204,12 @@ class VecTaskBase:
         if self.randomizer is not None:
             # DR obs noise before clipping (vec_task.py:404-406)
             obs = self.randomizer.randomize_observations(k_onoise, obs)
-        obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
+        obs = jnp.nan_to_num(jnp.clip(obs, -self.clip_obs, self.clip_obs))
         if states is not None:
-            states = jnp.clip(states, -self.clip_obs, self.clip_obs)
+            states = jnp.nan_to_num(
+                jnp.clip(states, -self.clip_obs, self.clip_obs))
+        rew = jnp.nan_to_num(rew)
+        reset = jnp.where(unhealthy, 1, reset)
 
         new_state = EnvState(sim=sim, progress=progress, reset_buf=reset,
                              rng=key, task=task, phys=state.phys)

@@ -18,13 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.franka import FRANKA_DEFAULT_DOF_POS
-from ..models.model import FREE, GEOM_BOX, ModelBuilder, compose_scene
-from ..physics.engine import Control, PhysicsEngine, SimState
+from ..physics.engine import Control, PhysicsEngine
 from ..utils.config import deep_merge
-from .base import EnvState, masked_update
-from .franka_reach_ma import (FRANKA_BASE_Z, TABLE_HALF, TABLE_POS,
-                              TABLE_SURFACE_Z, FrankaReachMA,
+from .base import EnvState
+from .franka_reach_ma import (TABLE_SURFACE_Z, FrankaReachMA,
                               TASK_CFG as REACH_CFG)
 
 TASK_CFG = deep_merge(REACH_CFG, {
