@@ -10,12 +10,4 @@ Public API mirrors the reference's ``isaacgymenvs.make()``
 """
 __version__ = "0.1.0"
 
-# Physics (mass-matrix inversion, contact Delassus operators) must run in
-# real float32: the TPU MXU's default bfloat16 matmul precision makes the
-# dynamics diverge (NaNs within ~25 PPO epochs on Ant).  The networks here
-# are tiny, so the fleet-wide cost of 'float32' precision is negligible.
-import jax as _jax
-
-_jax.config.update("jax_default_matmul_precision", "float32")
-
 from .api import make  # noqa: F401

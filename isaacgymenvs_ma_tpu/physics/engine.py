@@ -39,6 +39,25 @@ import numpy as np
 from ..models import model as md
 from ..ops import maths
 
+# The inertia -> CRBA -> inverse -> Delassus chain cannot run at the MXU's
+# default single-pass bfloat16: the lost mantissa de-positive-definitizes the
+# mass matrix and diverges training (NaNs on Ant within ~75 epochs).  HIGH
+# (3-pass bf16, ~float32-equivalent mantissa for well-scaled operands) is the
+# sweet spot; HIGHEST (6-pass) costs ~2x more for no observed stability gain.
+# Everything else (FK, bias velocity products, readouts) runs at default.
+# Override with IGMA_MATMUL_PRECISION=default|high|highest.
+import os as _os
+
+_HI = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("IGMA_MATMUL_PRECISION", "high")]
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 class SimParams(NamedTuple):
     """Mirror of the reference's sim-param schema (vec_task.py:516-564)."""
@@ -120,11 +139,11 @@ def spd_inverse(H: jax.Array) -> jax.Array:
     B = H[..., :k, k:]
     D = H[..., k:, k:]
     Ainv = spd_inverse(A)
-    AinvB = jnp.matmul(Ainv, B)
-    S = D - jnp.matmul(jnp.swapaxes(B, -1, -2), AinvB)
+    AinvB = _mm(Ainv, B)
+    S = D - _mm(jnp.swapaxes(B, -1, -2), AinvB)
     Sinv = spd_inverse(S)
-    TL = Ainv + jnp.matmul(jnp.matmul(AinvB, Sinv), jnp.swapaxes(AinvB, -1, -2))
-    TR = -jnp.matmul(AinvB, Sinv)
+    TL = Ainv + _mm(_mm(AinvB, Sinv), jnp.swapaxes(AinvB, -1, -2))
+    TR = -_mm(AinvB, Sinv)
     return jnp.concatenate([
         jnp.concatenate([TL, TR], -1),
         jnp.concatenate([jnp.swapaxes(TR, -1, -2), Sinv], -1),
@@ -393,7 +412,7 @@ class PhysicsEngine:
         (scales inertia proportionally, like PhysX density scaling)."""
         R = maths.quat_to_rotmat(body_q)                       # (N, nb, 3, 3)
         I_loc = jnp.broadcast_to(self.inertia.astype(body_x.dtype), R.shape)
-        Ic = jnp.matmul(jnp.matmul(R, I_loc), jnp.swapaxes(R, -1, -2))
+        Ic = _mm(_mm(R, I_loc), jnp.swapaxes(R, -1, -2))
         c = body_x + maths.quat_apply(body_q, self.com)        # world com
         m = self.mass[None, :, None, None]
         if mass_scale is not None:
@@ -401,7 +420,7 @@ class PhysicsEngine:
             Ic = Ic * mass_scale[:, :, None, None]
         cx = self._skew(c)                                     # (N, nb, 3, 3)
         mcx = m * cx
-        top_left = Ic - m * jnp.matmul(cx, cx)
+        top_left = Ic - m * _mm(cx, cx)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=body_x.dtype), cx.shape)
         I = jnp.concatenate(
             [
@@ -446,10 +465,10 @@ class PhysicsEngine:
         N = I_O.shape[0]
         I_flat = I_O.reshape(N, self.nb, 36)
         # anc[b, j] I[n, j, :] -> (nb, N, 36) -> (N, nb, 36)
-        comb = jnp.matmul(self.oh_dof_body @ self.body_anc_f, I_flat)
+        comb = _mm(self.oh_dof_body @ self.body_anc_f, I_flat)
         IcC_dof = comb.reshape(N, self.nv, 6, 6)
-        F = jnp.matmul(IcC_dof, S[..., None])[..., 0]          # (N, nv, 6)
-        G = jnp.matmul(S, jnp.swapaxes(F, -1, -2))             # (N, nv, nv)
+        F = _mm(IcC_dof, S[..., None])[..., 0]                 # (N, nv, 6)
+        G = _mm(S, jnp.swapaxes(F, -1, -2))                    # (N, nv, nv)
         upper = jnp.where(self.dof_anc, G, 0.0)
         diag = jnp.einsum("nii->ni", upper)
         M = upper + jnp.swapaxes(upper, -1, -2) - self._diag_embed(diag)
@@ -526,7 +545,7 @@ class PhysicsEngine:
         H = M + self._diag_embed(jnp.broadcast_to(diag, (N, self.nv)).astype(f32))
         Hinv = spd_inverse(H)
 
-        qdd = jnp.einsum("nij,nj->ni", Hinv, rhs)
+        qdd = jnp.einsum("nij,nj->ni", Hinv, rhs, precision=_HI)
         qd_new = qd + h * qdd
 
         # ---------------- unilateral constraints (contacts + joint limits)
@@ -682,7 +701,8 @@ class PhysicsEngine:
         Np, Pp = J.shape[0], J.shape[1]
         J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, self.nv)
         HinvJ_rows = jax.lax.dot_general(
-            J_rows, Hinv, (((2,), (1,)), ((0,), (0,))))         # (N, P*3, nv)
+            J_rows, Hinv, (((2,), (1,)), ((0,), (0,))),
+            precision=_HI)                                      # (N, P*3, nv)
         HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, self.nv), 2, 3)
         w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
 
@@ -723,7 +743,7 @@ class PhysicsEngine:
             Ng, Gg = g_J.shape[0], g_J.shape[1]
             gJ_rows = jnp.swapaxes(g_J, 2, 3).reshape(Ng, Gg * 3, self.nv)
             gHJ_rows = jax.lax.dot_general(
-                gJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))))
+                gJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))), precision=_HI)
             g_HJ = jnp.swapaxes(gHJ_rows.reshape(Ng, Gg, 3, self.nv), 2, 3)
             g_W = jnp.maximum(jnp.sum(g_J * g_HJ, axis=2), 1e-8)
             if grab_active is None:
@@ -749,7 +769,7 @@ class PhysicsEngine:
             Na, Aa = att_J.shape[0], att_J.shape[1]
             aJ_rows = jnp.swapaxes(att_J, 2, 3).reshape(Na, Aa * 3, self.nv)
             aHJ_rows = jax.lax.dot_general(
-                aJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))))
+                aJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))), precision=_HI)
             att_HJ = jnp.swapaxes(aHJ_rows.reshape(Na, Aa, 3, self.nv), 2, 3)
             att_W = jnp.maximum(jnp.sum(att_J * att_HJ, axis=2), 1e-8)
             lam_att = jnp.zeros(att_b.shape, qd.dtype)
@@ -770,10 +790,12 @@ class PhysicsEngine:
             return jnp.swapaxes(x, 2, 3).reshape(N, -1, nv)
 
         def matvec(A, x):  # (N, R, nv) x (N, nv) -> (N, R)
-            return jax.lax.dot_general(A, x, (((2,), (1,)), ((0,), (0,))))
+            return jax.lax.dot_general(A, x, (((2,), (1,)), ((0,), (0,))),
+                                       precision=_HI)
 
         def matvec_T(x, A):  # (N, R) x (N, R, nv) -> (N, nv)
-            return jax.lax.dot_general(x, A, (((1,), (1,)), ((0,), (0,))))
+            return jax.lax.dot_general(x, A, (((1,), (1,)), ((0,), (0,))),
+                                       precision=_HI)
 
         Jr = flat_rows(J)
         HJr = flat_rows(HinvJ)
@@ -856,7 +878,7 @@ class PhysicsEngine:
             lam_hi_new = jnp.where(
                 act_hi, jnp.maximum(lam_hi + (b_hi + qd_c) / hinv_diag, 0.0), 0.0)
             dlim = (lam_lo_new - lam_lo) - (lam_hi_new - lam_hi)
-            qd_c = qd_c + jnp.einsum("nvw,nw->nv", Hinv, dlim)
+            qd_c = qd_c + jnp.einsum("nvw,nw->nv", Hinv, dlim, precision=_HI)
             return (qd_c, lam_lo_new, lam_hi_new), None
 
         (qd, _, _), _ = jax.lax.scan(
