@@ -155,6 +155,26 @@ _TRAIN: Dict[str, dict] = {
         horizon_length=8, minibatch_size=32768, mini_epochs=5, critic_coef=4,
         learning_rate=5e-4,
     ),
+    # dextreme (cfg/train/AllegroHandDextreme*PPO.yaml: big MLP, asymmetric
+    # central value, heavy DR; ADR variant shares the config)
+    "AllegroHandDextremeManualDR": _cfg(
+        "AllegroHandDextremeManualDR", units=[512, 512, 256, 128],
+        value_bootstrap=True,
+        central_value_config={"network": {"mlp": {"units": [512, 256, 128]}},
+                              "learning_rate": 5e-4},
+        reward_shaper={"scale_value": 0.01}, max_epochs=10000,
+        horizon_length=8, minibatch_size=32768, mini_epochs=5, critic_coef=4,
+        learning_rate=5e-4,
+    ),
+    "AllegroHandDextremeADR": _cfg(
+        "AllegroHandDextremeADR", units=[512, 512, 256, 128],
+        value_bootstrap=True,
+        central_value_config={"network": {"mlp": {"units": [512, 256, 128]}},
+                              "learning_rate": 5e-4},
+        reward_shaper={"scale_value": 0.01}, max_epochs=10000,
+        horizon_length=8, minibatch_size=32768, mini_epochs=5, critic_coef=4,
+        learning_rate=5e-4,
+    ),
     "Ingenuity": _cfg(
         "Ingenuity", units=[256, 256, 128], reward_shaper={"scale_value": 0.01},
         max_epochs=400, horizon_length=16, minibatch_size=16384, mini_epochs=8,

@@ -682,6 +682,8 @@ class PhysicsEngine:
         # ---- body-pair rows (frame-projected)
         if self.pairs:
             pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q)
+            if friction_scale is not None:
+                pmu = pmu * friction_scale  # per-env DR friction, as on ground
             S_ang = S[:, None, :, 0:3]
             S_lin = S[:, None, :, 3:6]
             Jp = S_lin + _cross(S_ang, pp[:, :, None, :])
@@ -693,8 +695,12 @@ class PhysicsEngine:
             else:
                 p = jnp.concatenate([p, pp], 1)
                 J = jnp.concatenate([J, Jp], 1)
+                # mu is (rows,) normally but per-env (N, rows) when DR scales
+                # friction — normalize both parts before concatenating
+                mu_g = jnp.broadcast_to(mu, phi.shape) if mu.ndim == 1 else mu
+                mu_p = jnp.broadcast_to(pmu, pphi.shape) if pmu.ndim == 1 else pmu
                 phi = jnp.concatenate([phi, pphi], 1)
-                mu = jnp.concatenate([mu, pmu], 0)
+                mu = jnp.concatenate([mu_g, mu_p], -1)
         active = phi < 0.0
 
         # HinvJ[n,p,:,k] = Hinv @ J[n,p,:,k]: flatten rows -> one batched GEMM

@@ -126,12 +126,25 @@ class VecTaskBase:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
-    def initial_state(self, key: jax.Array) -> EnvState:
-        sim = self.engine.default_state(self.num_envs)
-        phys = None
+    def initial_phys(self):
+        """Per-env physics-scale pytree fed to the engine (None = nominal)."""
         if self.randomizer is not None and self.randomizer.enabled:
             from ..utils.domain_rand import PhysScales
-            phys = PhysScales.ones(self.num_envs)
+            return PhysScales.ones(self.num_envs)
+        return None
+
+    def update_phys(self, state: "EnvState", reset_mask: jax.Array,
+                    key: jax.Array):
+        """Hook: refresh per-env physics params for resetting envs.  Default
+        delegates to the DomainRandomizer (DR at reset — tasks/ant.py:252-255);
+        ADR tasks override to sample from their adaptive ranges."""
+        if self.randomizer is not None and state.phys is not None:
+            return self.randomizer.resample_phys(key, reset_mask, state.phys)
+        return state.phys
+
+    def initial_state(self, key: jax.Array) -> EnvState:
+        sim = self.engine.default_state(self.num_envs)
+        phys = self.initial_phys()
         return EnvState(
             sim=sim,
             progress=jnp.zeros(self.num_envs, jnp.int32),
@@ -154,10 +167,8 @@ class VecTaskBase:
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
         reset_mask = state.reset_buf > 0
-        phys = state.phys
-        if self.randomizer is not None and phys is not None:
-            # physics randomization happens at reset (tasks/ant.py:252-255)
-            phys = self.randomizer.resample_phys(k_phys, reset_mask, phys)
+        phys = self.update_phys(state, reset_mask, k_phys)
+        if phys is not state.phys:
             state = state._replace(phys=phys)
         if self.reset_in_pre_physics:
             sim, task = self.reset_idx(state.sim, state.task, reset_mask, k_reset)
@@ -239,6 +250,9 @@ class VecTaskBase:
         }
         if self.num_states > 0:
             info["state_space"] = (self.num_states,)
+        if self.dict_obs_cls and getattr(self, "obs_spec", None):
+            # ComplexObsRLGPUEnv dict space (rlgames_utils.py:300-424)
+            info["observation_space"] = {n: (s,) for n, s in self.obs_spec}
         return info
 
     def get_env_state(self, state: EnvState):

@@ -22,6 +22,10 @@ _TASKS: Dict[str, Tuple[str, str]] = {
     "FrankaCubeStack2": (".franka_cube_stack", "FrankaCubeStack"),
     "ShadowHand": (".shadow_hand", "ShadowHand"),
     "AllegroHand": (".allegro_hand", "AllegroHand"),
+    "AllegroHandDextremeManualDR": (".allegro_hand_dextreme",
+                                    "AllegroHandDextremeManualDR"),
+    "AllegroHandDextremeADR": (".allegro_hand_dextreme",
+                               "AllegroHandDextremeADR"),
     "Ingenuity": (".ingenuity", "Ingenuity"),
     "Quadcopter": (".quadcopter", "Quadcopter"),
     "HumanoidAMP": (".humanoid_amp", "HumanoidAMP"),
