@@ -175,6 +175,16 @@ _TRAIN: Dict[str, dict] = {
         horizon_length=8, minibatch_size=32768, mini_epochs=5, critic_coef=4,
         learning_rate=5e-4,
     ),
+    # cfg/train/TrifingerPPO.yaml: asymmetric central value, constant LR
+    "Trifinger": _cfg(
+        "Trifinger", units=[256, 256, 128, 128], value_bootstrap=True,
+        central_value_config={"network": {"mlp": {"units": [512, 512, 256, 128]}},
+                              "learning_rate": 5e-4},
+        reward_shaper={"scale_value": 0.01}, max_epochs=20000,
+        lr_schedule="constant", kl_threshold=0.016, horizon_length=8,
+        minibatch_size=16384, mini_epochs=4, critic_coef=4,
+        learning_rate=3e-4,
+    ),
     "Ingenuity": _cfg(
         "Ingenuity", units=[256, 256, 128], reward_shaper={"scale_value": 0.01},
         max_epochs=400, horizon_length=16, minibatch_size=16384, mini_epochs=8,

@@ -26,6 +26,7 @@ _TASKS: Dict[str, Tuple[str, str]] = {
                                     "AllegroHandDextremeManualDR"),
     "AllegroHandDextremeADR": (".allegro_hand_dextreme",
                                "AllegroHandDextremeADR"),
+    "Trifinger": (".trifinger", "Trifinger"),
     "Ingenuity": (".ingenuity", "Ingenuity"),
     "Quadcopter": (".quadcopter", "Quadcopter"),
     "HumanoidAMP": (".humanoid_amp", "HumanoidAMP"),

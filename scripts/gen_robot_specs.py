@@ -35,6 +35,11 @@ URDF_ASSETS = {
     "allegro_hand": (
         "/root/reference/assets/urdf/kuka_allegro_description/allegro_touch_sensor.urdf",
         dict(fix_base_link=True)),
+    # tri-finger platform (tasks/trifinger.py:181 robot urdf); mesh collisions
+    # skipped — fingertip contact spheres attached in the task
+    "trifinger": (
+        "/root/reference/assets/trifinger/robot_properties_fingers/urdf/pro/trifingerpro.urdf",
+        dict(fix_base_link=True, collapse_fixed=True)),
 }
 
 TEMPLATE = '''"""Auto-generated robot spec ({name}) — produced by scripts/gen_robot_specs.py.

@@ -24,6 +24,8 @@ HEAVY = [
     ("ShadowHand", 2, 10),
     ("AllegroHand", 2, 10),
     ("HumanoidAMP", 2, 10),
+    ("Trifinger", 2, 10),
+    ("AllegroHandDextremeADR", 2, 8),
 ]
 
 
