@@ -175,6 +175,19 @@ _TRAIN: Dict[str, dict] = {
         horizon_length=8, minibatch_size=32768, mini_epochs=5, critic_coef=4,
         learning_rate=5e-4,
     ),
+    # cfg/train/AllegroKukaPPO(LSTM).yaml: big MLP (+LSTM variant), long runs
+    "AllegroKuka": _cfg(
+        "AllegroKuka", units=[768, 512, 256], value_bootstrap=True,
+        reward_shaper={"scale_value": 0.01}, max_epochs=100000,
+        gamma=0.99, tau=0.95, horizon_length=16, minibatch_size=32768,
+        mini_epochs=2, critic_coef=4, learning_rate=1e-4,
+    ),
+    "AllegroKukaTwoArms": _cfg(
+        "AllegroKukaTwoArms", units=[768, 512, 256], value_bootstrap=True,
+        reward_shaper={"scale_value": 0.01}, max_epochs=100000,
+        horizon_length=16, minibatch_size=32768, mini_epochs=2,
+        critic_coef=4, learning_rate=1e-4,
+    ),
     # cfg/train/TrifingerPPO.yaml: asymmetric central value, constant LR
     "Trifinger": _cfg(
         "Trifinger", units=[256, 256, 128, 128], value_bootstrap=True,
@@ -231,6 +244,16 @@ _TRAIN["AntSAC"] = {
         },
     }
 }
+
+
+# LSTM variants (cfg/train/*PPOLSTM.yaml): same config + rnn block
+for _name in ("AllegroKuka", "AllegroKukaTwoArms"):
+    _lstm = copy.deepcopy(_TRAIN[_name])
+    _lstm["params"]["network"]["rnn"] = {
+        "name": "lstm", "units": 768, "layers": 1,
+        "before_mlp": True, "concat_input": True, "layer_norm": True}
+    _lstm["params"]["config"]["seq_len"] = 16
+    _TRAIN[_name + "LSTM"] = _lstm
 
 
 def train_default_config(task_name: str) -> dict:

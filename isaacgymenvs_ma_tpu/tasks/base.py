@@ -211,6 +211,11 @@ class VecTaskBase:
         timeout = (progress >= self.max_episode_length - 1) & (reset != 0)
         extras = dict(extras)
         extras["time_outs"] = self._to_batch(timeout)
+        # episode-extension hook: tasks that reset the episode clock without a
+        # full env reset (AllegroKuka on success — allegro_kuka_base.py:844)
+        clock_reset = extras.pop("_reset_progress_mask", None)
+        if clock_reset is not None:
+            progress = jnp.where(clock_reset, 0, progress)
 
         if self.randomizer is not None:
             # DR obs noise before clipping (vec_task.py:404-406)

@@ -27,6 +27,12 @@ _TASKS: Dict[str, Tuple[str, str]] = {
     "AllegroHandDextremeADR": (".allegro_hand_dextreme",
                                "AllegroHandDextremeADR"),
     "Trifinger": (".trifinger", "Trifinger"),
+    # subtask-resolver entries (reference tasks/__init__.py:65-90)
+    "AllegroKuka": (".allegro_kuka", "resolve_allegro_kuka"),
+    "AllegroKukaLSTM": (".allegro_kuka", "resolve_allegro_kuka"),
+    "AllegroKukaTwoArms": (".allegro_kuka", "resolve_allegro_kuka_two_arms"),
+    "AllegroKukaTwoArmsLSTM": (".allegro_kuka",
+                               "resolve_allegro_kuka_two_arms"),
     "Ingenuity": (".ingenuity", "Ingenuity"),
     "Quadcopter": (".quadcopter", "Quadcopter"),
     "HumanoidAMP": (".humanoid_amp", "HumanoidAMP"),

@@ -35,6 +35,11 @@ URDF_ASSETS = {
     "allegro_hand": (
         "/root/reference/assets/urdf/kuka_allegro_description/allegro_touch_sensor.urdf",
         dict(fix_base_link=True)),
+    # KUKA iiwa7 + Allegro hand (allegro_kuka_base.py asset kukaAllegro);
+    # mesh collisions approximated by fingertip/palm contact geoms in the task
+    "kuka_allegro": (
+        "/root/reference/assets/urdf/kuka_allegro_description/kuka_allegro_touch_sensor.urdf",
+        dict(fix_base_link=True, collapse_fixed=True)),
     # tri-finger platform (tasks/trifinger.py:181 robot urdf); mesh collisions
     # skipped — fingertip contact spheres attached in the task
     "trifinger": (
