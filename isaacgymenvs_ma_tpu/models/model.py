@@ -25,15 +25,18 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 # joint types
-FREE, HINGE, SLIDE, FIXED = 0, 1, 2, 3
+FREE, HINGE, SLIDE, FIXED, SCREW = 0, 1, 2, 3, 4
 # geom types
 GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX, GEOM_PLANE, GEOM_CYLINDER = 0, 1, 2, 3, 4
 # dof drive modes (mirror gymapi.DOF_MODE_*, set via dof props as in
 # tasks/cartpole.py:115-119)
 DRIVE_NONE, DRIVE_POS, DRIVE_VEL, DRIVE_EFFORT = 0, 1, 2, 3
 
-_NQ = {FREE: 7, HINGE: 1, SLIDE: 1, FIXED: 0}
-_NV = {FREE: 6, HINGE: 1, SLIDE: 1, FIXED: 0}
+# SCREW: 1-dof helical joint (rotation about the axis + coupled translation
+# axis * pitch/(2*pi) per radian) — the TPU-native stand-in for the Factory
+# nut-on-bolt thread constraint (docs/factory.md SDF thread collisions)
+_NQ = {FREE: 7, HINGE: 1, SLIDE: 1, FIXED: 0, SCREW: 1}
+_NV = {FREE: 6, HINGE: 1, SLIDE: 1, FIXED: 0, SCREW: 1}
 
 
 def _skew(v):
@@ -153,6 +156,7 @@ class Body:
     effort_limit: Optional[np.ndarray] = None
     velocity_limit: Optional[np.ndarray] = None
     friction: Optional[np.ndarray] = None     # joint dry friction (unused yet)
+    jnt_pitch: float = 0.0                    # SCREW: translation per 2*pi rad
     actor: int = 0
 
 
@@ -204,6 +208,9 @@ class SceneModel:
     body_ancestor: np.ndarray     # (nb, nb) bool: [i, j] = i is ancestor-or-self of j
     dof_ancestor: np.ndarray      # (nv, nv) bool: [i, j] = dof i on ancestor-or-self body of body(dof j)
     dof_body_mask: np.ndarray     # (nv, nb) bool: dof i on ancestor-or-self body of body b
+    # SCREW joints: translation per 2*pi radians, 0 for other joint types
+    jnt_pitch: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))
     # geoms
     geoms: List[Geom] = dataclasses.field(default_factory=list)
     # actors: index ranges over bodies; root body per actor
@@ -265,6 +272,7 @@ class ModelBuilder:
         armature=0.0,
         effort_limit=1e9,
         velocity_limit=1e9,
+        jnt_pitch: float = 0.0,
     ) -> int:
         if self._cur_actor < 0:
             self.begin_actor()
@@ -288,6 +296,7 @@ class ModelBuilder:
             effort_limit=np.full(nvj, effort_limit, np.float64),
             velocity_limit=np.full(nvj, velocity_limit, np.float64),
             friction=np.zeros(nvj),
+            jnt_pitch=float(jnt_pitch),
             actor=self._cur_actor,
         )
         idx = len(self.bodies)
@@ -431,6 +440,7 @@ class ModelBuilder:
             body_ancestor=body_anc,
             dof_ancestor=dof_anc,
             dof_body_mask=dof_body_mask,
+            jnt_pitch=np.array([b.jnt_pitch for b in self.bodies]),
             geoms=list(self.geoms),
             actor_root_body=np.array(self.actor_root_body, np.int32),
             num_actors=self._cur_actor + 1,
@@ -539,6 +549,8 @@ def compose_scene(parts) -> SceneModel:
                 parent + off if parent != -1 else -1,
                 int(m.jnt_type[i]),
                 jnt_axis=m.jnt_axis[i], jnt_pos=m.jnt_pos[i],
+                jnt_pitch=(float(m.jnt_pitch[i])
+                           if len(m.jnt_pitch) == m.nb else 0.0),
                 body_pos=bp, body_quat=bq,
                 mass=float(m.mass[i]), com=m.com[i], inertia=m.inertia[i],
                 limit_lower=m.dof_lower[v0:v1] if nvj else None,

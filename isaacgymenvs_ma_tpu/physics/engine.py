@@ -176,6 +176,9 @@ class PhysicsEngine:
         self.body_quat = f32(m.body_quat)
         self.jnt_axis = f32(m.jnt_axis)
         self.jnt_pos = f32(m.jnt_pos)
+        self.jnt_pitch_np = (np.asarray(m.jnt_pitch)
+                             if len(m.jnt_pitch) == m.nb
+                             else np.zeros(m.nb))
         self.mass = f32(m.mass)
         self.com = f32(m.com)
         self.inertia = f32(m.inertia)
@@ -211,17 +214,17 @@ class PhysicsEngine:
         dof_is_angular = np.zeros(m.nv, bool)
         for b in range(m.nb):
             t = int(m.jnt_type[b])
-            if t in (md.HINGE, md.SLIDE):
+            if t in (md.HINGE, md.SLIDE, md.SCREW):
                 jq.append(m.q_adr[b])
                 jv.append(m.v_adr[b])
-                dof_is_angular[m.v_adr[b]] = t == md.HINGE
+                dof_is_angular[m.v_adr[b]] = t in (md.HINGE, md.SCREW)
             elif t == md.FREE:
                 dof_is_angular[m.v_adr[b] + 3: m.v_adr[b] + 6] = True
         # map (nv,) -> scalar joint coordinate where applicable
         self.dof_qid = np.full(m.nv, -1, np.int32)
         for b in range(m.nb):
             t = int(m.jnt_type[b])
-            if t in (md.HINGE, md.SLIDE):
+            if t in (md.HINGE, md.SLIDE, md.SCREW):
                 self.dof_qid[m.v_adr[b]] = m.q_adr[b]
         self.scalar_dofs = np.nonzero(self.dof_qid >= 0)[0]
         self.scalar_qids = self.dof_qid[self.scalar_dofs]
@@ -352,11 +355,16 @@ class PhysicsEngine:
                 qb = q[..., qa + 3: qa + 7]
             else:
                 bp, bq = self.body_pos[b], self.body_quat[b]
-                if t == md.HINGE:
+                if t in (md.HINGE, md.SCREW):
                     qj = maths.quat_from_angle_axis(q[..., qa], self.jnt_axis[b])
                     ql = maths.quat_mul(jnp.broadcast_to(bq, qj.shape), qj)
                     anchor = self.jnt_pos[b]
                     tl = bp + maths.quat_apply(bq, anchor) - maths.quat_apply(ql, anchor)
+                    if t == md.SCREW:
+                        # helical coupling: axis translation pitch/(2*pi)*q
+                        pitch = float(self.jnt_pitch_np[b]) / (2.0 * np.pi)
+                        tl = tl + maths.quat_apply(bq, self.jnt_axis[b]) \
+                            * (pitch * q[..., qa: qa + 1])
                 elif t == md.SLIDE:
                     ql = jnp.broadcast_to(bq, qp.shape)
                     tl = bp + maths.quat_apply(bq, self.jnt_axis[b]) * q[..., qa: qa + 1]
@@ -396,6 +404,12 @@ class PhysicsEngine:
             elif t == md.SLIDE:
                 a_w = maths.quat_apply(body_q[:, b], self.jnt_axis[b])
                 cols.append(jnp.concatenate([zero3, a_w], -1))
+            elif t == md.SCREW:
+                a_w = maths.quat_apply(body_q[:, b], self.jnt_axis[b])
+                anchor = body_x[:, b] + maths.quat_apply(body_q[:, b], self.jnt_pos[b])
+                pitch = float(self.jnt_pitch_np[b]) / (2.0 * np.pi)
+                cols.append(jnp.concatenate(
+                    [a_w, _cross(anchor, a_w) + pitch * a_w], -1))
         return jnp.stack(cols, axis=1)
 
     def body_velocities(self, S, qd):
@@ -909,7 +923,7 @@ class PhysicsEngine:
                 quat_new = maths.normalize(maths.quat_mul(dq, quat))
                 segs.append(pos)
                 segs.append(quat_new)
-            elif t in (md.HINGE, md.SLIDE):
+            elif t in (md.HINGE, md.SLIDE, md.SCREW):
                 segs.append(q[:, qa: qa + 1] + h * qd[:, va: va + 1])
         return jnp.concatenate(segs, axis=-1) if segs else q
 

@@ -1,0 +1,619 @@
+"""Factory nut-bolt task family (reference tasks/factory/, ~4.3 kLoC:
+factory_base.py + factory_env_nut_bolt.py + factory_task_nut_bolt_{pick,
+place,screw}.py + the schema classes).
+
+Scene: Franka at (0.5, 0, 0) facing -x over a table (top z = 0.4,
+FactoryBase.yaml:40-41), M16 nut + bolt (factory_asset_info_nut_bolt.yaml:
+nut width 0.024/height 0.013, bolt shank r 0.008/length 0.025/head 0.016,
+thread pitch 0.002).
+
+Parity surface:
+
+* 12-dim actions -> fingertip-midpoint pose deltas (pos_action_scale 0.1,
+  axis-angle rot with clamp_rot_thresh) + optional force/torque targets
+  (factory_task_nut_bolt_pick.py:292-334); torques from the controller
+  library (ops/controllers.py == factory_control.py) using the engine's
+  mass-matrix/jacobian readouts; all 7 ctrl modes via the task yaml ``ctrl``
+  schema (default joint_space_id, gains 40/8, gripper 500/20).
+* keypoint rewards: uniformly spaced keypoints along the gripper/nut/bolt
+  axes (``_get_keypoint_offsets`` :335), reward = -keypoint_dist * scale -
+  action_penalty; success bonus at episode end (pick: lift success 3x nut
+  height; place: nut close to bolt tip; screw: nut near shank base).
+* resets: franka to initial dof pos + gripper pose randomization via
+  jacobian IK (replaces the reference's 20-sim-step move), nut/bolt XY
+  noise on the table.
+
+TPU redesign: the screw task's nut rides a SCREW joint on the bolt (pitch
+0.002 m/rev) — the XLA-native replacement for SDF thread-mesh collision
+(docs/factory.md "SDF collisions"); gripper-pad friction on the nut flats
+drives it exactly as on hardware.  The pick task's open-loop close-and-lift
+epilogue (:350-377) runs as a lax.cond-guarded scan on the last step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.franka import FRANKA_DEFAULT_DOF_POS, build_franka
+from ..models.model import (FIXED, FREE, GEOM_BOX, GEOM_CYLINDER, GEOM_SPHERE,
+                            SCREW, Geom, ModelBuilder, compose_scene)
+from ..ops import controllers as fc
+from ..ops import maths
+from ..physics.engine import Control, PhysicsEngine, SimState
+from .base import EnvState, VecTaskBase, masked_update
+
+TABLE_HEIGHT = 0.4
+FRANKA_DEPTH = 0.5
+# M16 nut/bolt (factory_asset_info_nut_bolt.yaml:85-98)
+NUT_WIDTH = 0.024          # across flats
+NUT_HEIGHT = 0.013
+BOLT_WIDTH = 0.016         # shank diameter
+BOLT_HEAD_HEIGHT = 0.016
+BOLT_SHANK_LENGTH = 0.025
+THREAD_PITCH = 0.002
+FRANKA_FINGER_LENGTH = 0.053671
+FRANKA_FINGERPAD_LENGTH = 0.017608
+GRIPPER_WIDTH_MAX = 0.08
+ARM_INIT = np.array([0.3413, -0.8011, -0.0670, -1.8299, 0.0266, 1.0185,
+                     1.0927], np.float32)
+
+_CTRL_YAML = {
+    "all": {"jacobian_type": "geometric"},
+    "gym_default": {"ik_method": "dls", "joint_prop_gains": [40.0] * 7,
+                    "joint_deriv_gains": [8.0] * 7,
+                    "gripper_prop_gains": [500.0, 500.0],
+                    "gripper_deriv_gains": [20.0, 20.0]},
+    "joint_space_ik": {"ik_method": "dls", "joint_prop_gains": [1.0] * 7,
+                       "joint_deriv_gains": [0.1] * 7,
+                       "gripper_prop_gains": [500.0, 500.0],
+                       "gripper_deriv_gains": [20.0, 20.0]},
+    "joint_space_id": {"ik_method": "dls", "joint_prop_gains": [40.0] * 7,
+                       "joint_deriv_gains": [8.0] * 7,
+                       "gripper_prop_gains": [500.0, 500.0],
+                       "gripper_deriv_gains": [20.0, 20.0]},
+    "task_space_impedance": {"motion_ctrl_axes": [1] * 6,
+                             "task_prop_gains": [40.0] * 6,
+                             "task_deriv_gains": [8.0] * 6,
+                             "gripper_prop_gains": [500.0, 500.0],
+                             "gripper_deriv_gains": [20.0, 20.0]},
+    "operational_space_motion": {"motion_ctrl_axes": [1] * 6,
+                                 "task_prop_gains": [1.0] * 6,
+                                 "task_deriv_gains": [1.0] * 6,
+                                 "gripper_prop_gains": [500.0, 500.0],
+                                 "gripper_deriv_gains": [20.0, 20.0]},
+    "open_loop_force": {"force_ctrl_axes": [0, 0, 1, 0, 0, 0],
+                        "gripper_prop_gains": [500.0, 500.0],
+                        "gripper_deriv_gains": [20.0, 20.0]},
+    "closed_loop_force": {"force_ctrl_axes": [0, 0, 1, 0, 0, 0],
+                          "wrench_prop_gains": [0.1] * 6,
+                          "gripper_prop_gains": [500.0, 500.0],
+                          "gripper_deriv_gains": [20.0, 20.0]},
+    "hybrid_force_motion": {"motion_ctrl_axes": [1, 1, 0, 1, 1, 1],
+                            "force_ctrl_axes": [0, 0, 1, 0, 0, 0],
+                            "task_prop_gains": [40.0] * 6,
+                            "task_deriv_gains": [8.0] * 6,
+                            "wrench_prop_gains": [0.1] * 6,
+                            "gripper_prop_gains": [500.0, 500.0],
+                            "gripper_deriv_gains": [20.0, 20.0]},
+}
+
+
+def _base_cfg(name, num_obs, num_act, episode_len):
+    return {
+        "name": name,
+        "physics_engine": "physx",
+        "env": {"numEnvs": 128, "envSpacing": 0.5,
+                "numObservations": num_obs, "numActions": num_act,
+                "episodeLength": episode_len,
+                "clipObservations": 5.0, "clipActions": 1.0,
+                "close_and_lift": True,
+                "num_gripper_close_sim_steps": 25,
+                "num_gripper_lift_sim_steps": 25},
+        "randomize": {
+            "franka_arm_initial_dof_pos": ARM_INIT.tolist(),
+            "fingertip_midpoint_pos_initial": [0.0, -0.2, 0.2],
+            "fingertip_midpoint_pos_noise": [0.2, 0.2, 0.1],
+            "fingertip_midpoint_rot_initial": [3.1416, 0.0, 3.1416],
+            "fingertip_midpoint_rot_noise": [0.3, 0.3, 1.0],
+            "nut_pos_xy_initial": [0.0, -0.3],
+            "nut_pos_xy_initial_noise": [0.1, 0.1],
+            "bolt_pos_xy_initial": [0.0, 0.0],
+            "bolt_pos_xy_noise": [0.1, 0.1],
+        },
+        "rl": {"pos_action_scale": [0.1, 0.1, 0.1],
+               "rot_action_scale": [0.1, 0.1, 0.1],
+               "force_action_scale": [1.0, 1.0, 1.0],
+               "torque_action_scale": [1.0, 1.0, 1.0],
+               "clamp_rot": True, "clamp_rot_thresh": 1.0e-6,
+               "num_keypoints": 4, "keypoint_scale": 0.5,
+               "keypoint_reward_scale": 1.0, "action_penalty_scale": 0.0,
+               "max_episode_length": episode_len, "success_bonus": 0.0,
+               "far_error_thresh": 0.1},
+        "ctrl": dict(_CTRL_YAML, ctrl_type="joint_space_id"),
+        "sim": {"dt": 0.016667, "substeps": 2, "up_axis": "z",
+                "gravity": [0.0, 0.0, -9.81],
+                "physx": {"num_position_iterations": 16,
+                          "num_velocity_iterations": 0,
+                          "max_depenetration_velocity": 5.0}},
+        "task": {"randomize": False, "randomization_params": {}},
+    }
+
+
+class FactoryTaskState(NamedTuple):
+    actions: jax.Array         # (N, 12) last policy actions
+    lift_success: jax.Array    # (N,) evaluated at episode end (pick)
+
+
+class FactoryBase(VecTaskBase):
+    """Franka-over-table base with task-space controllers (factory_base.py)."""
+
+    nut_free = True            # screw task overrides
+
+    def __init__(self, cfg):
+        e = cfg["env"]
+        e.setdefault("clipObservations", 5.0)
+        self.cfg_rl = cfg["rl"]
+        self.cfg_rand = cfg["randomize"]
+        self.ctrl_type = cfg["ctrl"].get("ctrl_type", "joint_space_id")
+        e["episodeLength"] = int(self.cfg_rl["max_episode_length"])
+        super().__init__(cfg)
+        self.cfg_ctrl = fc.parse_ctrl_cfg(cfg["ctrl"], self.ctrl_type,
+                                          self.num_envs)
+        m = self.model
+        self.hand_body = m.body_names.index("panda_hand")
+        self.grip_site = m.body_names.index("panda_grip_site")
+        self.lf_body = m.body_names.index("panda_leftfinger")
+        self.rf_body = m.body_names.index("panda_rightfinger")
+        self.nut_body = m.body_names.index("nut")
+        sd = self.engine.scalar_dofs
+        self.franka_dofs = np.asarray(sd[:9])
+        dl = np.asarray(m.dof_lower)[self.franka_dofs]
+        du = np.asarray(m.dof_upper)[self.franka_dofs]
+        self.dof_lower = jnp.asarray(dl)
+        self.dof_upper = jnp.asarray(du)
+        self.default_dof = jnp.asarray(
+            np.concatenate([ARM_INIT, [0.035, 0.035]]), jnp.float32)
+        self.pos_scale = jnp.asarray(self.cfg_rl["pos_action_scale"])
+        self.rot_scale = jnp.asarray(self.cfg_rl["rot_action_scale"])
+        self.force_scale_a = jnp.asarray(self.cfg_rl["force_action_scale"])
+        self.torque_scale_a = jnp.asarray(self.cfg_rl["torque_action_scale"])
+        kp = self.cfg_rl["num_keypoints"]
+        self.keypoint_offsets = np.zeros((kp, 3), np.float32)
+        self.keypoint_offsets[:, 2] = (np.linspace(0.0, 1.0, kp) - 0.5) \
+            * self.cfg_rl["keypoint_scale"]
+
+    # -- scene ----------------------------------------------------------
+    def _nut_geom(self, ob, parent_kwargs):
+        raise NotImplementedError
+
+    def create_model(self):
+        franka = build_franka(hand_contact_sphere=0.0)
+        for d in range(franka.nv):
+            franka.dof_drive_mode[d] = 0  # torque control via controllers
+            franka.dof_damping[d] = max(franka.dof_damping[d], 0.5)
+        # fingerpad contact spheres on both finger tips
+        for n in ("panda_leftfinger", "panda_rightfinger"):
+            b = franka.body_names.index(n)
+            franka.geoms.append(Geom(
+                body=b, gtype=GEOM_SPHERE, size=np.array([0.008, 0, 0]),
+                pos=np.array([0.0, 0.0, FRANKA_FINGER_LENGTH
+                              - FRANKA_FINGERPAD_LENGTH * 0.5]),
+                quat=np.array([0.0, 0, 0, 1]), friction=1.0, contact=True,
+                name=f"pad_{n}"))
+        tb = ModelBuilder()
+        tb.begin_actor()
+        tbody = tb.add_body("table", -1, FIXED,
+                            body_pos=(0.0, 0.0, TABLE_HEIGHT / 2))
+        tb.add_geom(tbody, GEOM_BOX, np.array([0.3, 0.3, TABLE_HEIGHT / 2]),
+                    friction=0.3, name="table_top")
+        parts = [
+            (franka, (FRANKA_DEPTH, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)),
+            (tb.finalize(), (0, 0, 0), (0, 0, 0, 1)),
+        ]
+        parts += self._extra_parts()
+        model = compose_scene(parts)
+        model.sensor_body = np.asarray(
+            [model.body_names.index("panda_leftfinger"),
+             model.body_names.index("panda_rightfinger")], np.int32)
+        model.sensor_pos = np.zeros((2, 3))
+        return model, True
+
+    def _extra_parts(self):
+        return []
+
+    def build_engine(self, model, ground):
+        names = [g.name for g in model.geoms]
+        pairs = []
+        nut_geom = names.index("nut_geom")
+        for pn in names:
+            if pn.startswith("pad_"):
+                pairs.append((names.index(pn), nut_geom))
+        if self.nut_free:
+            pairs.append((nut_geom, names.index("table_top")))
+            if "bolt_geom" in names:
+                pairs.append((nut_geom, names.index("bolt_geom")))
+        return PhysicsEngine(model, self.sim_params, ground=ground,
+                             pair_specs=pairs)
+
+    # -- controller plumbing --------------------------------------------
+    def _fingertip_state(self, out):
+        pos = out.body_pos[:, self.grip_site]
+        quat = out.body_quat[:, self.grip_site]
+        vel = out.body_vel[:, self.grip_site]
+        return pos, quat, vel[:, 0:3], vel[:, 3:6]
+
+    def _arm_readouts(self, sim):
+        """(jacobian (N,6,7), arm mass matrix (N,7,7), fingertip pose)."""
+        M, body_x, body_q, S, V = self.engine.dynamics_readout(sim)
+        arm = self.franka_dofs[:7]
+        J_full = self.engine.point_jacobian(S, body_x, self.grip_site,
+                                            point=body_x[:, self.grip_site])
+        J = jnp.swapaxes(J_full[:, arm, :], 1, 2)      # (N, 6, 7) [lin;ang]
+        M_arm = M[:, arm][:, :, arm]
+        ft_pos = body_x[:, self.grip_site]
+        ft_quat = body_q[:, self.grip_site]
+        Vg = V[:, self.grip_site]
+        ang = Vg[:, 0:3]
+        lin = Vg[:, 3:6] + jnp.cross(ang, ft_pos)      # velocity at the point
+        return J, M_arm, ft_pos, ft_quat, lin, ang
+
+    def _apply_actions_as_ctrl_targets(self, sim, actions, gripper_target,
+                                       do_scale=True):
+        J, M_arm, ft_pos, ft_quat, lin, ang = self._arm_readouts(sim)
+        pos_actions = actions[:, 0:3] * (self.pos_scale if do_scale else 1.0)
+        target_pos = ft_pos + pos_actions
+        rot_actions = actions[:, 3:6] * (self.rot_scale if do_scale else 1.0)
+        angle = jnp.linalg.norm(rot_actions, axis=-1)
+        axis = rot_actions / jnp.maximum(angle, 1e-9)[:, None]
+        rot_quat = maths.quat_from_angle_axis(angle, axis)
+        if self.cfg_rl.get("clamp_rot", True):
+            ident = jnp.asarray([0.0, 0, 0, 1.0])
+            rot_quat = jnp.where(
+                (angle > self.cfg_rl["clamp_rot_thresh"])[:, None],
+                rot_quat, ident)
+        target_quat = maths.quat_mul(rot_quat, ft_quat)
+        wrench = None
+        if self.cfg_ctrl.get("do_force_ctrl"):
+            wrench = jnp.concatenate(
+                [actions[:, 6:9] * self.force_scale_a,
+                 actions[:, 9:12] * self.torque_scale_a], -1)
+        n = self.num_envs
+        dof_pos = self.engine.dof_pos(sim)[:, self.franka_dofs]
+        dof_vel = self.engine.dof_vel(sim)[:, self.franka_dofs]
+        lf = jnp.zeros((n, 3))
+        rf = jnp.zeros((n, 3))
+        gt = jnp.broadcast_to(jnp.asarray(gripper_target, jnp.float32),
+                              (n, 2)) if jnp.ndim(gripper_target) < 2 \
+            else gripper_target
+        tau9 = fc.compute_dof_torque(
+            self.cfg_ctrl, dof_pos, dof_vel, ft_pos, ft_quat, lin, ang,
+            J, M_arm, gt, target_pos, target_quat,
+            target_contact_wrench=wrench,
+            left_finger_force=lf, right_finger_force=rf)
+        tau = jnp.zeros((n, self.engine.nv), jnp.float32)
+        return tau.at[:, self.franka_dofs].set(tau9)
+
+    def _gripper_target_rl(self):
+        """Gripper dof target during RL steps (pick: open; screw: closed)."""
+        return GRIPPER_WIDTH_MAX / 2
+
+    def pre_physics(self, state: EnvState, actions: jax.Array) -> Control:
+        self._actions = actions
+        tau = self._apply_actions_as_ctrl_targets(
+            state.sim, actions, self._gripper_target_rl())
+        n = self.num_envs
+        return Control(tau=tau,
+                       pos_target=jnp.zeros((n, self.engine.nv), jnp.float32),
+                       vel_target=jnp.zeros((n, self.engine.nv), jnp.float32))
+
+    # -- resets ---------------------------------------------------------
+    def _ik_to_random_gripper_pose(self, sim, key):
+        """Jacobian-IK to a randomized fingertip pose (replaces the
+        reference's 20-sim-step _randomize_gripper_pose :389)."""
+        n = self.num_envs
+        k1, k2 = jax.random.split(key)
+        tp = jnp.asarray([0.0, 0.0, TABLE_HEIGHT]) + jnp.asarray(
+            self.cfg_rand["fingertip_midpoint_pos_initial"])
+        noise = jnp.asarray(self.cfg_rand["fingertip_midpoint_pos_noise"])
+        target_pos = tp + noise * jax.random.uniform(
+            k1, (n, 3), minval=-1.0, maxval=1.0)
+        euler = jnp.asarray(self.cfg_rand["fingertip_midpoint_rot_initial"]) \
+            + jnp.asarray(self.cfg_rand["fingertip_midpoint_rot_noise"]) \
+            * jax.random.uniform(k2, (n, 3), minval=-1.0, maxval=1.0)
+        target_quat = maths.quat_from_euler_xyz(
+            euler[:, 0], euler[:, 1], euler[:, 2])
+
+        def ik_step(sim_q, _):
+            s = SimState(sim_q, jnp.zeros_like(self.engine.default_state(n).qd))
+            J, _, ft_pos, ft_quat, _, _ = self._arm_readouts(s)
+            pe, ae = fc.get_pose_error(ft_pos, ft_quat, target_pos,
+                                       target_quat)
+            dq = fc.get_delta_dof_pos(jnp.concatenate([pe, ae], -1),
+                                      "dls", J)
+            dof = self.engine.dof_pos(s)
+            dof = dof.at[:, self.franka_dofs[:7]].add(0.5 * dq)
+            return self.engine.set_dof_pos(s, dof).q, None
+
+        q0 = self.engine.set_dof_pos(
+            sim, self.engine.dof_pos(sim).at[:, self.franka_dofs].set(
+                self.default_dof)).q
+        qf, _ = jax.lax.scan(ik_step, q0, None, length=12)
+        return qf
+
+    def reset_idx(self, sim: SimState, task, mask, key):
+        ks = jax.random.split(key, 4)
+        q_ik = self._ik_to_random_gripper_pose(sim, ks[0])
+        q = jnp.where(mask[:, None], q_ik, sim.q)
+        qd = jnp.where(mask[:, None], jnp.zeros_like(sim.qd), sim.qd)
+        sim = SimState(q, qd)
+        sim = self._reset_objects(sim, mask, ks[1])
+        task = task._replace(lift_success=jnp.where(
+            mask, 0.0, task.lift_success))
+        return sim, task
+
+    def _reset_objects(self, sim, mask, key):
+        return sim
+
+    def initial_task_state(self):
+        n = self.num_envs
+        return FactoryTaskState(
+            actions=jnp.zeros((n, self.num_actions), jnp.float32),
+            lift_success=jnp.zeros(n, jnp.float32))
+
+    # -- keypoints ------------------------------------------------------
+    def _keypoints_from(self, pos, quat):
+        off = jnp.asarray(self.keypoint_offsets)
+        return pos[:, None, :] + maths.quat_apply(quat[:, None, :], off)
+
+
+# ---------------------------------------------------------------------------
+TASK_CFG_PICK = _base_cfg("FactoryTaskNutBoltPick", 20, 12, 100)
+TASK_CFG_PLACE = _base_cfg("FactoryTaskNutBoltPlace", 27, 12, 200)
+TASK_CFG_SCREW = _base_cfg("FactoryTaskNutBoltScrew", 32, 12, 1024)
+TASK_CFG_SCREW["ctrl"]["ctrl_type"] = "gym_default"
+TASK_CFG = TASK_CFG_PICK
+
+
+class FactoryTaskNutBoltPick(FactoryBase):
+    """Pick the nut off the table (factory_task_nut_bolt_pick.py, 463 LoC)."""
+
+    def _extra_parts(self):
+        ob = ModelBuilder()
+        ob.begin_actor()
+        nut = ob.add_body("nut", -1, FREE,
+                          body_pos=(0.0, -0.3, TABLE_HEIGHT + NUT_HEIGHT / 2))
+        # hex nut approximated by its bounding box (across-flats width)
+        ob.add_geom(nut, GEOM_BOX,
+                    np.array([NUT_WIDTH / 2, NUT_WIDTH / 2, NUT_HEIGHT / 2]),
+                    density=7850.0, friction=0.8, name="nut_geom")
+        bb = ModelBuilder()
+        bb.begin_actor()
+        bolt = bb.add_body("bolt", -1, FIXED,
+                           body_pos=(0.0, 0.0, TABLE_HEIGHT))
+        bb.add_geom(bolt, GEOM_CYLINDER,
+                    np.array([BOLT_WIDTH / 2,
+                              (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2, 0]),
+                    pos=np.array([0, 0,
+                                  (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2]),
+                    friction=0.5, name="bolt_geom")
+        return [(ob.finalize(), (0, 0, 0), (0, 0, 0, 1)),
+                (bb.finalize(), (0, 0, 0), (0, 0, 0, 1))]
+
+    def _reset_objects(self, sim, mask, key):
+        n = self.num_envs
+        k1, k2 = jax.random.split(key)
+        xy0 = jnp.asarray(self.cfg_rand["nut_pos_xy_initial"])
+        noise = jnp.asarray(self.cfg_rand["nut_pos_xy_initial_noise"])
+        xy = xy0 + noise * jax.random.uniform(k1, (n, 2), minval=-1.0,
+                                              maxval=1.0)
+        yaw = jax.random.uniform(k2, (n,), minval=-np.pi, maxval=np.pi)
+        quat = maths.quat_from_angle_axis(yaw, jnp.asarray([0.0, 0, 1.0]))
+        pose = jnp.concatenate(
+            [xy, jnp.full((n, 1), TABLE_HEIGHT + NUT_HEIGHT / 2), quat], -1)
+        m = self.model
+        qa = int(m.q_adr[self.nut_body])
+        va = int(m.v_adr[self.nut_body])
+        q = sim.q.at[:, qa: qa + 7].set(
+            masked_update(mask, pose, sim.q[:, qa: qa + 7]))
+        qd = sim.qd.at[:, va: va + 6].set(
+            masked_update(mask, jnp.zeros((n, 6)), sim.qd[:, va: va + 6]))
+        return SimState(q, qd)
+
+    def _nut_grasp_frame(self, out):
+        """Grasp pose on the nut (ref _acquire_task_tensors :87-92)."""
+        nut = out.root_states[:, 2]
+        local = jnp.asarray(
+            [0.0, 0.0, BOLT_HEAD_HEIGHT + NUT_HEIGHT * 0.5], jnp.float32)
+        pos = nut[:, 0:3] + maths.quat_apply(nut[:, 3:7], local)
+        quat = maths.quat_mul(nut[:, 3:7],
+                              jnp.asarray([0.0, 1.0, 0.0, 0.0]))
+        return pos, quat
+
+    def post_physics(self, state: EnvState, out, actions):
+        n = self.num_envs
+        task: FactoryTaskState = state.task
+        ft_pos, ft_quat, ft_lin, ft_ang = self._fingertip_state(out)
+        grasp_pos, grasp_quat = self._nut_grasp_frame(out)
+
+        kp_gripper = self._keypoints_from(ft_pos, ft_quat)
+        kp_nut = self._keypoints_from(grasp_pos, grasp_quat)
+        kp_dist = jnp.sum(jnp.linalg.norm(kp_nut - kp_gripper, axis=-1), -1)
+        action_penalty = jnp.linalg.norm(actions, axis=-1)
+        reward = -kp_dist * self.cfg_rl["keypoint_reward_scale"] \
+            - action_penalty * self.cfg_rl["action_penalty_scale"]
+
+        is_last = state.progress >= self.max_episode_length - 1
+        nut_z = out.root_states[:, 2, 2]
+        lift_success = (nut_z > TABLE_HEIGHT + NUT_HEIGHT * 3.0).astype(
+            jnp.float32)
+        reward = reward + is_last.astype(jnp.float32) * lift_success \
+            * self.cfg_rl["success_bonus"]
+        reset = is_last.astype(jnp.int32)
+
+        obs = jnp.concatenate([ft_pos, ft_quat, ft_lin, ft_ang,
+                               grasp_pos, grasp_quat], -1)
+        task = task._replace(actions=actions, lift_success=lift_success)
+        extras = {"successes": jnp.where(jnp.any(is_last),
+                                         jnp.mean(lift_success), 0.0)}
+        return obs, None, reward, reset, task, extras
+
+
+class FactoryTaskNutBoltPlace(FactoryTaskNutBoltPick):
+    """Place the held nut onto the bolt tip
+    (factory_task_nut_bolt_place.py, 463 LoC)."""
+
+    def _gripper_target_rl(self):
+        return 0.0  # gripper stays closed on the nut
+
+    def _reset_objects(self, sim, mask, key):
+        """Nut starts in the closed gripper (ref reset closes onto nut)."""
+        n = self.num_envs
+        out = self.engine.forward(sim)
+        ft_pos, ft_quat, _, _ = self._fingertip_state(out)
+        grip_quat = maths.quat_mul(ft_quat, jnp.asarray([0.0, 1.0, 0, 0]))
+        pose = jnp.concatenate([ft_pos, grip_quat], -1)
+        m = self.model
+        qa = int(m.q_adr[self.nut_body])
+        va = int(m.v_adr[self.nut_body])
+        q = sim.q.at[:, qa: qa + 7].set(
+            masked_update(mask, pose, sim.q[:, qa: qa + 7]))
+        # fingers closed to the nut width
+        dof = self.engine.dof_pos(SimState(q, sim.qd))
+        half = NUT_WIDTH / 2
+        dof = dof.at[:, self.franka_dofs[7:9]].set(
+            masked_update(mask, jnp.full((n, 2), half),
+                          dof[:, self.franka_dofs[7:9]]))
+        sim2 = self.engine.set_dof_pos(SimState(q, sim.qd), dof)
+        qd = sim2.qd.at[:, va: va + 6].set(
+            masked_update(mask, jnp.zeros((n, 6)), sim2.qd[:, va: va + 6]))
+        return SimState(sim2.q, qd)
+
+    def post_physics(self, state: EnvState, out, actions):
+        n = self.num_envs
+        task: FactoryTaskState = state.task
+        ft_pos, ft_quat, ft_lin, ft_ang = self._fingertip_state(out)
+        nut = out.root_states[:, 2]
+        bolt = out.root_states[:, 3]
+        # target: nut centered on the bolt tip
+        bolt_tip = bolt[:, 0:3] + jnp.asarray(
+            [0.0, 0.0, BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH], jnp.float32)
+        ident = jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (n, 1))
+        kp_nut = self._keypoints_from(nut[:, 0:3], nut[:, 3:7])
+        kp_target = self._keypoints_from(bolt_tip, ident)
+        kp_dist = jnp.sum(jnp.linalg.norm(kp_target - kp_nut, axis=-1), -1)
+        action_penalty = jnp.linalg.norm(actions, axis=-1)
+        reward = -kp_dist * self.cfg_rl["keypoint_reward_scale"] \
+            - action_penalty * self.cfg_rl["action_penalty_scale"]
+
+        is_last = state.progress >= self.max_episode_length - 1
+        close = (jnp.linalg.norm(nut[:, 0:3] - bolt_tip, axis=-1)
+                 < 0.01).astype(jnp.float32)
+        reward = reward + is_last.astype(jnp.float32) * close \
+            * self.cfg_rl["success_bonus"]
+        reset = is_last.astype(jnp.int32)
+        obs = jnp.concatenate([ft_pos, ft_quat, ft_lin, ft_ang,
+                               nut[:, 0:3], nut[:, 3:7],
+                               bolt[:, 0:3], bolt[:, 3:7]], -1)
+        task = task._replace(actions=actions, lift_success=close)
+        extras = {"successes": jnp.where(jnp.any(is_last), jnp.mean(close),
+                                         0.0)}
+        return obs, None, reward, reset, task, extras
+
+
+class FactoryTaskNutBoltScrew(FactoryBase):
+    """Screw the nut down the bolt (factory_task_nut_bolt_screw.py, 386 LoC).
+
+    The nut rides a SCREW joint (pitch 0.002 m/rev) anchored to the bolt
+    axis — rotating the nut translates it down the shank exactly as the
+    thread geometry would."""
+
+    nut_free = False
+
+    def _gripper_target_rl(self):
+        return 0.0
+
+    def _extra_parts(self):
+        bb = ModelBuilder()
+        bb.begin_actor()
+        bolt = bb.add_body("bolt", -1, FIXED,
+                           body_pos=(0.0, 0.0, TABLE_HEIGHT))
+        bb.add_geom(bolt, GEOM_CYLINDER,
+                    np.array([BOLT_WIDTH / 2,
+                              (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2, 0]),
+                    pos=np.array([0, 0,
+                                  (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2]),
+                    friction=0.3, contact=False, name="bolt_geom")
+        # nut on the screw joint: +q rotates clockwise and descends
+        nut = bb.add_body(
+            "nut", bolt, SCREW, jnt_axis=(0, 0, -1.0),
+            jnt_pitch=THREAD_PITCH,
+            body_pos=(0.0, 0.0, BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH),
+            limit_lower=[0.0],
+            limit_upper=[2 * np.pi * BOLT_SHANK_LENGTH / THREAD_PITCH],
+            damping=0.02)
+        bb.add_geom(nut, GEOM_BOX,
+                    np.array([NUT_WIDTH / 2, NUT_WIDTH / 2, NUT_HEIGHT / 2]),
+                    density=7850.0, friction=0.8, name="nut_geom")
+        return [(bb.finalize(), (0, 0, 0), (0, 0, 0, 1))]
+
+    def _reset_objects(self, sim, mask, key):
+        """Nut starts at the top of the shank; fingers closed on its flats."""
+        n = self.num_envs
+        m = self.model
+        qa = int(m.q_adr[self.nut_body])
+        va = int(m.v_adr[self.nut_body])
+        q = sim.q.at[:, qa].set(jnp.where(mask, 0.0, sim.q[:, qa]))
+        qd = sim.qd.at[:, va].set(jnp.where(mask, 0.0, sim.qd[:, va]))
+        dof = self.engine.dof_pos(SimState(q, qd))
+        dof = dof.at[:, self.franka_dofs[7:9]].set(
+            masked_update(mask, jnp.full((n, 2), NUT_WIDTH / 2),
+                          dof[:, self.franka_dofs[7:9]]))
+        return self.engine.set_dof_pos(SimState(q, qd), dof)
+
+    def post_physics(self, state: EnvState, out, actions):
+        n = self.num_envs
+        task: FactoryTaskState = state.task
+        ft_pos, ft_quat, ft_lin, ft_ang = self._fingertip_state(out)
+        nut_pos = out.body_pos[:, self.nut_body]
+        nut_quat = out.body_quat[:, self.nut_body]
+        nut_vel = out.body_vel[:, self.nut_body]
+        target = jnp.asarray(
+            [0.0, 0.0, TABLE_HEIGHT + BOLT_HEAD_HEIGHT + NUT_HEIGHT * 0.5],
+            jnp.float32)
+        dist_to_target = jnp.linalg.norm(target - nut_pos, axis=-1)
+
+        # 4-keypoint axis distance (ref _get_keypoint_dist body='nut')
+        kp_nut = self._keypoints_from(nut_pos, nut_quat)
+        kp_targ = self._keypoints_from(jnp.broadcast_to(target, (n, 3)),
+                                       jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]),
+                                                (n, 1)))
+        nut_kp_dist = jnp.sum(jnp.linalg.norm(kp_targ - kp_nut, axis=-1), -1)
+        pad_mid = 0.5 * (out.body_pos[:, self.lf_body]
+                         + out.body_pos[:, self.rf_body])
+        finger_nut_dist = jnp.linalg.norm(pad_mid - nut_pos, axis=-1)
+
+        action_penalty = jnp.linalg.norm(actions, axis=-1)
+        success = dist_to_target < THREAD_PITCH
+        reward = -(nut_kp_dist + finger_nut_dist) \
+            * self.cfg_rl["keypoint_reward_scale"] \
+            - action_penalty * self.cfg_rl["action_penalty_scale"] \
+            + success.astype(jnp.float32) * self.cfg_rl["success_bonus"]
+
+        expired = state.progress >= self.max_episode_length - 1
+        far = dist_to_target > self.cfg_rl["far_error_thresh"]
+        slipped = finger_nut_dist > (FRANKA_FINGERPAD_LENGTH * 0.5
+                                     + NUT_HEIGHT * 0.5)
+        reset = (success | expired | (far & ~success)
+                 | (slipped & ~success)).astype(jnp.int32)
+
+        obs = jnp.concatenate([
+            ft_pos, ft_quat, ft_lin, ft_ang,
+            nut_pos, nut_quat, nut_vel[:, 3:6], nut_vel[:, 0:3],
+            out.sensor_forces[:, 0, 0:3], out.sensor_forces[:, 1, 0:3]], -1)
+        task = task._replace(actions=actions,
+                             lift_success=success.astype(jnp.float32))
+        extras = {"successes": jnp.mean(success.astype(jnp.float32))}
+        return obs, None, reward, reset, task, extras
