@@ -246,6 +246,17 @@ _TRAIN["AntSAC"] = {
 }
 
 
+# cfg/train/FactoryTaskNutBolt*PPO.yaml: small MLP, long horizons, low LR
+for _fname, _hl, _mb in (("FactoryTaskNutBoltPick", 120, 512),
+                         ("FactoryTaskNutBoltPlace", 120, 512),
+                         ("FactoryTaskNutBoltScrew", 256, 512)):
+    _TRAIN[_fname] = _cfg(
+        _fname, units=[256, 128, 64], reward_shaper={"scale_value": 1.0},
+        max_epochs=1024, horizon_length=_hl, minibatch_size=_mb,
+        mini_epochs=8, learning_rate=1e-4, lr_schedule="fixed",
+        critic_coef=2,
+    )
+
 # LSTM variants (cfg/train/*PPOLSTM.yaml): same config + rnn block
 for _name in ("AllegroKuka", "AllegroKukaTwoArms"):
     _lstm = copy.deepcopy(_TRAIN[_name])

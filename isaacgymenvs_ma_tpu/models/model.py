@@ -211,6 +211,10 @@ class SceneModel:
     # SCREW joints: translation per 2*pi radians, 0 for other joint types
     jnt_pitch: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0))
+    # per-body gravity switch (asset_options.disable_gravity — the Factory
+    # franka is simulated gravity-free, factory_base.py:132)
+    body_gravity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))
     # geoms
     geoms: List[Geom] = dataclasses.field(default_factory=list)
     # actors: index ranges over bodies; root body per actor
@@ -441,6 +445,7 @@ class ModelBuilder:
             dof_ancestor=dof_anc,
             dof_body_mask=dof_body_mask,
             jnt_pitch=np.array([b.jnt_pitch for b in self.bodies]),
+            body_gravity=np.ones(nb),
             geoms=list(self.geoms),
             actor_root_body=np.array(self.actor_root_body, np.int32),
             num_actors=self._cur_actor + 1,
@@ -575,6 +580,12 @@ def compose_scene(parts) -> SceneModel:
             b.add_actuator(off + body, float(m.actuator_gear[a]),
                            sub_dof=dof - int(m.v_adr[body]))
     out = b.finalize()
+    # stitch per-body gravity flags from the parts
+    gv = []
+    for m, _, _ in parts:
+        gv.append(m.body_gravity if len(m.body_gravity) == m.nb
+                  else np.ones(m.nb))
+    out.body_gravity = np.concatenate(gv) if gv else np.ones(out.nb)
     # stitch init_qpos (applying base transforms to free roots)
     q0 = default_qpos(out)
     adr = 0

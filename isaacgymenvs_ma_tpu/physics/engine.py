@@ -179,6 +179,9 @@ class PhysicsEngine:
         self.jnt_pitch_np = (np.asarray(m.jnt_pitch)
                              if len(m.jnt_pitch) == m.nb
                              else np.zeros(m.nb))
+        self.grav_mask = f32(np.asarray(m.body_gravity)
+                             if len(getattr(m, "body_gravity", [])) == m.nb
+                             else np.ones(m.nb))
         self.mass = f32(m.mass)
         self.com = f32(m.com)
         self.inertia = f32(m.inertia)
@@ -495,7 +498,10 @@ class PhysicsEngine:
     def bias_force(self, S, qd, V, I_O):
         """RNEA with qdd = 0 and a0 = -g: returns C (N, nv)."""
         N = S.shape[0]
-        a0 = jnp.concatenate([jnp.zeros(3, S.dtype), -self.gravity]).astype(S.dtype)
+        # per-body gravity mask (asset_options.disable_gravity)
+        a0 = jnp.concatenate(
+            [jnp.zeros(3, S.dtype), -self.gravity]).astype(S.dtype)
+        a0 = a0 * self.grav_mask[:, None]                      # (nb, 6)
         V_dof = jnp.matmul(self.oh_dof_body, V)                # (N, nv, 6)
         xi = self._cross_motion(V_dof, S * qd[..., None])      # (N, nv, 6)
         a = a0 + jnp.matmul(self.dof_body_mask_f.T, xi)        # (N, nb, 6)

@@ -27,7 +27,9 @@ TPU redesign: the screw task's nut rides a SCREW joint on the bolt (pitch
 0.002 m/rev) — the XLA-native replacement for SDF thread-mesh collision
 (docs/factory.md "SDF collisions"); gripper-pad friction on the nut flats
 drives it exactly as on hardware.  The pick task's open-loop close-and-lift
-epilogue (:350-377) runs as a lax.cond-guarded scan on the last step.
+epilogue (:350-377) is exposed as the jittable ``evaluate_lift`` (run it on
+final states to score lift success, as the reference does after the last
+RL step).
 """
 from __future__ import annotations
 
@@ -215,6 +217,12 @@ class FactoryBase(VecTaskBase):
         ]
         parts += self._extra_parts()
         model = compose_scene(parts)
+        # the franka is simulated gravity-free (factory_base.py:132
+        # franka_options.disable_gravity = True) so the weak factory gains
+        # need no gravity compensation
+        for i, n in enumerate(model.body_names):
+            if n.startswith("panda_"):
+                model.body_gravity[i] = 0.0
         model.sensor_body = np.asarray(
             [model.body_names.index("panda_leftfinger"),
              model.body_names.index("panda_rightfinger")], np.int32)
@@ -422,6 +430,36 @@ class FactoryTaskNutBoltPick(FactoryBase):
             masked_update(mask, jnp.zeros((n, 6)), sim.qd[:, va: va + 6]))
         return SimState(q, qd)
 
+    def evaluate_lift(self, state: EnvState):
+        """Scripted close-and-lift epilogue (ref _close_gripper/_lift_gripper
+        :350-377): close the gripper, lift 0.3 m open-loop, then score
+        lift success (nut > table + 3x nut height).  Jittable."""
+        n = self.num_envs
+        close_steps = int(self.cfg["env"].get("num_gripper_close_sim_steps",
+                                              25))
+        lift_steps = int(self.cfg["env"].get("num_gripper_lift_sim_steps", 25))
+
+        def phase(sim, actions6, gripper, length):
+            def body(s, _):
+                tau = self._apply_actions_as_ctrl_targets(
+                    s, actions6, gripper, do_scale=False)
+                ctrl = Control(
+                    tau=tau,
+                    pos_target=jnp.zeros((n, self.engine.nv), jnp.float32),
+                    vel_target=jnp.zeros((n, self.engine.nv), jnp.float32))
+                s2, _ = self.engine.step(s, ctrl)
+                return s2, None
+            sim, _ = jax.lax.scan(body, sim, None, length=length)
+            return sim
+
+        still = jnp.zeros((n, 12))
+        sim = phase(state.sim, still, 0.0, close_steps)
+        lift = jnp.zeros((n, 12)).at[:, 2].set(0.3)
+        sim = phase(sim, lift, 0.0, lift_steps)
+        out = self.engine.forward(sim)
+        nut_z = out.root_states[:, 2, 2]
+        return (nut_z > TABLE_HEIGHT + NUT_HEIGHT * 3.0).astype(jnp.float32)
+
     def _nut_grasp_frame(self, out):
         """Grasp pose on the nut (ref _acquire_task_tensors :87-92)."""
         nut = out.root_states[:, 2]
@@ -547,12 +585,15 @@ class FactoryTaskNutBoltScrew(FactoryBase):
                                   (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2]),
                     friction=0.3, contact=False, name="bolt_geom")
         # nut on the screw joint: +q rotates clockwise and descends
+        # travel: from the shank tip down to resting on the bolt head
+        # (nut center at head + nut/2 — the screw-task target height)
+        travel = BOLT_SHANK_LENGTH - NUT_HEIGHT * 0.5
         nut = bb.add_body(
             "nut", bolt, SCREW, jnt_axis=(0, 0, -1.0),
             jnt_pitch=THREAD_PITCH,
             body_pos=(0.0, 0.0, BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH),
             limit_lower=[0.0],
-            limit_upper=[2 * np.pi * BOLT_SHANK_LENGTH / THREAD_PITCH],
+            limit_upper=[2 * np.pi * travel / THREAD_PITCH],
             damping=0.02)
         bb.add_geom(nut, GEOM_BOX,
                     np.array([NUT_WIDTH / 2, NUT_WIDTH / 2, NUT_HEIGHT / 2]),
@@ -617,3 +658,10 @@ class FactoryTaskNutBoltScrew(FactoryBase):
                              lift_success=success.astype(jnp.float32))
         extras = {"successes": jnp.mean(success.astype(jnp.float32))}
         return obs, None, reward, reset, task, extras
+
+
+TASK_CFGS = {
+    "FactoryTaskNutBoltPick": TASK_CFG_PICK,
+    "FactoryTaskNutBoltPlace": TASK_CFG_PLACE,
+    "FactoryTaskNutBoltScrew": TASK_CFG_SCREW,
+}

@@ -27,6 +27,9 @@ _TASKS: Dict[str, Tuple[str, str]] = {
     "AllegroHandDextremeADR": (".allegro_hand_dextreme",
                                "AllegroHandDextremeADR"),
     "Trifinger": (".trifinger", "Trifinger"),
+    "FactoryTaskNutBoltPick": (".factory", "FactoryTaskNutBoltPick"),
+    "FactoryTaskNutBoltPlace": (".factory", "FactoryTaskNutBoltPlace"),
+    "FactoryTaskNutBoltScrew": (".factory", "FactoryTaskNutBoltScrew"),
     # subtask-resolver entries (reference tasks/__init__.py:65-90)
     "AllegroKuka": (".allegro_kuka", "resolve_allegro_kuka"),
     "AllegroKukaLSTM": (".allegro_kuka", "resolve_allegro_kuka"),
@@ -50,6 +53,10 @@ def task_class(name: str):
 def task_default_config(name: str) -> dict:
     mod_name, _ = _TASKS[name]
     mod = importlib.import_module(mod_name, __package__)
+    # multi-task modules export TASK_CFGS[name]; single-task use TASK_CFG
+    cfgs = getattr(mod, "TASK_CFGS", None)
+    if cfgs and name in cfgs:
+        return cfgs[name]
     return mod.TASK_CFG
 
 
