@@ -665,3 +665,96 @@ TASK_CFGS = {
     "FactoryTaskNutBoltPlace": TASK_CFG_PLACE,
     "FactoryTaskNutBoltScrew": TASK_CFG_SCREW,
 }
+
+
+# ---------------------------------------------------------------------------
+# Gears / Insertion scenes: the reference ships these as policy-less scene
+# playgrounds (factory_task_gears.py / factory_task_insertion.py — reward and
+# reset hooks are `pass`; docs/rl_examples.md "no trained policies provided").
+TASK_CFG_GEARS = _base_cfg("FactoryTaskGears", 32, 12, 1024)
+TASK_CFG_INSERT = _base_cfg("FactoryTaskInsertion", 32, 12, 1024)
+
+
+class FactoryTaskGears(FactoryBase):
+    """Gear-assembly scene (factory_task_gears.py, 302 LoC): base plate with
+    two shafts + medium gear as the manipulated free body."""
+
+    def _extra_parts(self):
+        bb = ModelBuilder()
+        bb.begin_actor()
+        base = bb.add_body("gear_base", -1, FIXED,
+                           body_pos=(0.0, 0.0, TABLE_HEIGHT))
+        # base plate + two shafts (factory_asset_info_gears.yaml)
+        bb.add_geom(base, GEOM_BOX, np.array([0.05, 0.03, 0.0025]),
+                    pos=np.array([0, 0, 0.0025]), name="gear_base_geom")
+        for i, dx in enumerate((-0.025, 0.025)):
+            bb.add_geom(base, GEOM_CYLINDER, np.array([0.003, 0.025, 0]),
+                        pos=np.array([dx, 0, 0.03]), contact=False,
+                        name=f"shaft{i}")
+        ob = ModelBuilder()
+        ob.begin_actor()
+        gear = ob.add_body("nut", -1, FREE,  # manipulated object slot
+                           body_pos=(0.0, -0.2, TABLE_HEIGHT + 0.01))
+        # box contact proxy (the engine samples contact points from
+        # sphere/capsule/box geoms; cylinders serve as SDF targets only)
+        ob.add_geom(gear, GEOM_BOX, np.array([0.035, 0.035, 0.01]),
+                    density=1200.0, friction=0.8, name="nut_geom")
+        return [(bb.finalize(), (0, 0, 0), (0, 0, 0, 1)),
+                (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))]
+
+    def _reset_objects(self, sim, mask, key):
+        n = self.num_envs
+        xy = jnp.asarray([0.0, -0.2]) + 0.05 * jax.random.uniform(
+            key, (n, 2), minval=-1.0, maxval=1.0)
+        pose = jnp.concatenate(
+            [xy, jnp.full((n, 1), TABLE_HEIGHT + 0.012),
+             jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (n, 1))], -1)
+        m = self.model
+        qa = int(m.q_adr[self.nut_body])
+        va = int(m.v_adr[self.nut_body])
+        q = sim.q.at[:, qa: qa + 7].set(
+            masked_update(mask, pose, sim.q[:, qa: qa + 7]))
+        qd = sim.qd.at[:, va: va + 6].set(
+            masked_update(mask, jnp.zeros((n, 6)), sim.qd[:, va: va + 6]))
+        return SimState(q, qd)
+
+    def post_physics(self, state: EnvState, out, actions):
+        n = self.num_envs
+        ft_pos, ft_quat, ft_lin, ft_ang = self._fingertip_state(out)
+        obj = out.root_states[:, 2]
+        obs = jnp.concatenate([ft_pos, ft_quat, ft_lin, ft_ang,
+                               obj[:, 0:13]], -1)
+        obs = jnp.pad(obs, ((0, 0), (0, self.num_obs - obs.shape[-1])))
+        reward = jnp.zeros(n)  # ref _update_rew_buf is a no-op
+        reset = (state.progress >= self.max_episode_length - 1).astype(
+            jnp.int32)
+        task = state.task._replace(actions=actions)
+        return obs, None, reward, reset, task, {}
+
+
+class FactoryTaskInsertion(FactoryTaskGears):
+    """Peg-in-hole scene (factory_task_insertion.py, 295 LoC): round peg as
+    the manipulated body, socket fixed on the table."""
+
+    def _extra_parts(self):
+        bb = ModelBuilder()
+        bb.begin_actor()
+        sock = bb.add_body("socket", -1, FIXED,
+                           body_pos=(0.0, 0.0, TABLE_HEIGHT))
+        # 8mm round socket block (factory_asset_info_insertion.yaml)
+        bb.add_geom(sock, GEOM_BOX, np.array([0.015, 0.015, 0.0125]),
+                    pos=np.array([0, 0, 0.0125]), name="socket_geom")
+        ob = ModelBuilder()
+        ob.begin_actor()
+        peg = ob.add_body("nut", -1, FREE,
+                          body_pos=(0.0, -0.2, TABLE_HEIGHT + 0.025))
+        ob.add_geom(peg, GEOM_BOX, np.array([0.004, 0.004, 0.025]),
+                    density=7850.0, friction=0.8, name="nut_geom")
+        return [(bb.finalize(), (0, 0, 0), (0, 0, 0, 1)),
+                (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))]
+
+
+TASK_CFGS.update({
+    "FactoryTaskGears": TASK_CFG_GEARS,
+    "FactoryTaskInsertion": TASK_CFG_INSERT,
+})

@@ -30,6 +30,8 @@ _TASKS: Dict[str, Tuple[str, str]] = {
     "FactoryTaskNutBoltPick": (".factory", "FactoryTaskNutBoltPick"),
     "FactoryTaskNutBoltPlace": (".factory", "FactoryTaskNutBoltPlace"),
     "FactoryTaskNutBoltScrew": (".factory", "FactoryTaskNutBoltScrew"),
+    "FactoryTaskGears": (".factory", "FactoryTaskGears"),
+    "FactoryTaskInsertion": (".factory", "FactoryTaskInsertion"),
     # subtask-resolver entries (reference tasks/__init__.py:65-90)
     "AllegroKuka": (".allegro_kuka", "resolve_allegro_kuka"),
     "AllegroKukaLSTM": (".allegro_kuka", "resolve_allegro_kuka"),

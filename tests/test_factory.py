@@ -112,3 +112,17 @@ def test_evaluate_lift_runs(pick):
     success = jax.jit(pick.evaluate_lift)(st)
     assert success.shape == (2,)
     assert np.isfinite(np.asarray(success)).all()
+
+
+@pytest.mark.slow
+def test_gears_and_insertion_scenes():
+    from isaacgymenvs_ma_tpu.tasks.factory import (FactoryTaskGears,
+                                                   FactoryTaskInsertion)
+    for cls, name in ((FactoryTaskGears, "FactoryTaskGears"),
+                      (FactoryTaskInsertion, "FactoryTaskInsertion")):
+        t = _make(cls, name)
+        st = t.initial_state(jax.random.PRNGKey(0))
+        st, res = jax.jit(t.step)(st, t.zero_actions())
+        assert res.obs.shape == (2, 32)
+        assert np.isfinite(np.asarray(res.obs)).all()
+        assert np.allclose(np.asarray(res.rew), 0.0)
