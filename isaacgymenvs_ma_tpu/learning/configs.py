@@ -257,6 +257,17 @@ for _fname, _hl, _mb in (("FactoryTaskNutBoltPick", 120, 512),
         critic_coef=2,
     )
 
+# cfg/train/IndustRealTask*PPO.yaml: LSTM policy + central value critic
+for _iname in ("IndustRealTaskPegsInsert", "IndustRealTaskGearsInsert"):
+    _TRAIN[_iname] = _cfg(
+        _iname, units=[512, 256, 128], value_bootstrap=True,
+        central_value_config={"network": {"mlp": {"units": [512, 256, 128]}},
+                              "learning_rate": 1e-3},
+        reward_shaper={"scale_value": 1.0}, max_epochs=8192,
+        horizon_length=128, minibatch_size=8192, mini_epochs=8,
+        learning_rate=1e-3, lr_schedule="fixed",
+    )
+
 # LSTM variants (cfg/train/*PPOLSTM.yaml): same config + rnn block
 for _name in ("AllegroKuka", "AllegroKukaTwoArms"):
     _lstm = copy.deepcopy(_TRAIN[_name])

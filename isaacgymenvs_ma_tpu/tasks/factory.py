@@ -358,8 +358,9 @@ class FactoryBase(VecTaskBase):
         qd = jnp.where(mask[:, None], jnp.zeros_like(sim.qd), sim.qd)
         sim = SimState(q, qd)
         sim = self._reset_objects(sim, mask, ks[1])
-        task = task._replace(lift_success=jnp.where(
-            mask, 0.0, task.lift_success))
+        if hasattr(task, "lift_success"):
+            task = task._replace(lift_success=jnp.where(
+                mask, 0.0, task.lift_success))
         return sim, task
 
     def _reset_objects(self, sim, mask, key):

@@ -32,6 +32,8 @@ _TASKS: Dict[str, Tuple[str, str]] = {
     "FactoryTaskNutBoltScrew": (".factory", "FactoryTaskNutBoltScrew"),
     "FactoryTaskGears": (".factory", "FactoryTaskGears"),
     "FactoryTaskInsertion": (".factory", "FactoryTaskInsertion"),
+    "IndustRealTaskPegsInsert": (".industreal", "IndustRealTaskPegsInsert"),
+    "IndustRealTaskGearsInsert": (".industreal", "IndustRealTaskGearsInsert"),
     # subtask-resolver entries (reference tasks/__init__.py:65-90)
     "AllegroKuka": (".allegro_kuka", "resolve_allegro_kuka"),
     "AllegroKukaLSTM": (".allegro_kuka", "resolve_allegro_kuka"),
