@@ -272,6 +272,20 @@ class VecTaskBase:
         """Algo->env channel for curricula (vec_task.py:188-194)."""
         return state
 
+    def render(self, state: EnvState, mode: str = "rgb_array",
+               env_index: int = 0, **camera_kwargs):
+        """Headless frame render (vec_task.py:459-514 ``render`` with
+        ``virtual_screen_capture``): (H, W, 3) uint8 via utils/viewer.py."""
+        if mode != "rgb_array":
+            raise ValueError("only rgb_array rendering is supported headless")
+        import numpy as _np
+        from ..utils.viewer import render_rgb
+        out = self.engine.forward(state.sim)
+        return render_rgb(self.model,
+                          _np.asarray(out.body_pos[env_index]),
+                          _np.asarray(out.body_quat[env_index]),
+                          ground=self.engine.ground, **camera_kwargs)
+
 
 def masked_update(mask: jax.Array, new: jax.Array, old: jax.Array) -> jax.Array:
     """Apply ``new`` where mask (broadcast over trailing dims)."""

@@ -1,0 +1,198 @@
+"""Headless rendering (reference vec_task.py:271-514 ``set_viewer``/
+``render``: camera, `render(mode='rgb_array')` via pyvirtualdisplay screen
+capture, frame recording to PNG).
+
+The reference renders through the isaacgym viewer + a virtual X display.
+Here a small pure-numpy splat rasterizer draws the scene's collision geoms
+from the engine's pose readouts — no GL, no display, runs in any TPU pod
+job.  Not a photorealistic renderer: it is the debug/monitoring surface the
+reference's `virtual_screen_capture` path provides (env videos for wandb,
+docs/framework.md "Recording videos").
+
+* :func:`render_rgb` — one env -> (H, W, 3) uint8, z-buffered sphere
+  splats (spheres/capsules/boxes are splatted as shaded discs along their
+  primitive skeletons) over a checkerboard ground.
+* :func:`write_png` — dependency-free PNG writer (zlib + struct).
+* :class:`FrameRecorder` — `capture(state)` appends frames; `save(dir)`
+  writes `frame_%04d.png`, the reference's record-frames loop.
+"""
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+from ..models import model as md
+
+
+def _look_at(eye, target, up=(0.0, 0.0, 1.0)):
+    eye = np.asarray(eye, np.float32)
+    f = np.asarray(target, np.float32) - eye
+    f /= np.linalg.norm(f) + 1e-9
+    r = np.cross(f, np.asarray(up, np.float32))
+    r /= np.linalg.norm(r) + 1e-9
+    u = np.cross(r, f)
+    R = np.stack([r, u, f])            # world -> camera rows
+    return R, eye
+
+
+def _quat_mat(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _geom_splats(model: md.SceneModel, body_pos, body_quat):
+    """(centers (M,3), radii (M,), colors (M,3)) — primitive skeletons."""
+    rng = np.random.default_rng(0)
+    centers, radii, colors = [], [], []
+    for g in model.geoms:
+        R = _quat_mat(np.asarray(body_quat[g.body], np.float32))
+        base = np.asarray(body_pos[g.body], np.float32) \
+            + R @ np.asarray(g.pos, np.float32)
+        Rg = R @ _quat_mat(np.asarray(g.quat, np.float32))
+        col = 0.35 + 0.6 * rng.random(3)
+        if g.gtype == md.GEOM_SPHERE:
+            pts = [base]
+            rs = [g.size[0]]
+        elif g.gtype == md.GEOM_CAPSULE:
+            n = 5
+            ts = np.linspace(-g.size[1], g.size[1], n)
+            pts = [base + Rg @ np.array([0, 0, t], np.float32) for t in ts]
+            rs = [g.size[0]] * n
+        elif g.gtype == md.GEOM_CYLINDER:
+            n = 4
+            ts = np.linspace(-g.size[1], g.size[1], n)
+            pts = [base + Rg @ np.array([0, 0, t], np.float32) for t in ts]
+            rs = [g.size[0]] * n
+        elif g.gtype == md.GEOM_BOX:
+            hx, hy, hz = np.asarray(g.size, np.float32)
+            r = float(min(hx, hy, hz))
+            nx = max(1, int(round(hx / r)))
+            ny = max(1, int(round(hy / r)))
+            nz = max(1, int(round(hz / r)))
+            pts, rs = [], []
+            for ix in np.linspace(-hx + r, hx - r, min(nx, 4)):
+                for iy in np.linspace(-hy + r, hy - r, min(ny, 4)):
+                    for iz in np.linspace(-hz + r, hz - r, min(nz, 4)):
+                        pts.append(base + Rg @ np.array([ix, iy, iz],
+                                                        np.float32))
+                        rs.append(r)
+        else:
+            continue
+        centers += list(pts)
+        radii += list(rs)
+        colors += [col] * len(pts)
+    if not centers:
+        return (np.zeros((0, 3), np.float32), np.zeros(0, np.float32),
+                np.zeros((0, 3), np.float32))
+    return (np.asarray(centers, np.float32), np.asarray(radii, np.float32),
+            np.asarray(colors, np.float32))
+
+
+def render_rgb(model: md.SceneModel, body_pos, body_quat,
+               camera_eye=(2.0, 2.0, 1.5), camera_target=(0.0, 0.0, 0.5),
+               size=(240, 320), fov_deg=55.0, ground: bool = True):
+    """Rasterize one env's geoms into an (H, W, 3) uint8 image."""
+    H, W = size
+    img = np.zeros((H, W, 3), np.float32)
+    zbuf = np.full((H, W), np.inf, np.float32)
+    R, eye = _look_at(camera_eye, camera_target)
+    focal = 0.5 * W / np.tan(np.radians(fov_deg) / 2)
+
+    if ground:
+        # checkerboard plane via per-pixel ray cast (vectorized)
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+        dirs_cam = np.stack([(xs - W / 2) / focal, -(ys - H / 2) / focal,
+                             np.ones_like(xs)], -1)
+        dirs = dirs_cam @ R               # camera -> world
+        t = -eye[2] / np.where(np.abs(dirs[..., 2]) < 1e-6, 1e-6,
+                               dirs[..., 2])
+        hit = (t > 0) & (dirs[..., 2] < 0)
+        px = eye[0] + t * dirs[..., 0]
+        py = eye[1] + t * dirs[..., 1]
+        checker = ((np.floor(px) + np.floor(py)) % 2).astype(bool)
+        shade = np.where(checker, 0.32, 0.42)[..., None] * np.ones(3)
+        img = np.where(hit[..., None], shade, np.array([0.65, 0.78, 0.9]))
+        zbuf = np.where(hit, t, np.inf)
+    else:
+        img[:] = np.array([0.65, 0.78, 0.9])
+
+    centers, radii, colors = _geom_splats(model, body_pos, body_quat)
+    if len(centers):
+        cam = (centers - eye) @ R.T       # (M, 3), z forward
+        order = np.argsort(-cam[:, 2])    # far to near
+        for i in order:
+            z = cam[i, 2]
+            if z <= 0.05:
+                continue
+            u = focal * cam[i, 0] / z + W / 2
+            v = -focal * cam[i, 1] / z + H / 2
+            pr = focal * radii[i] / z
+            if pr < 0.5 or u < -pr or u > W + pr or v < -pr or v > H + pr:
+                continue
+            x0, x1 = int(max(0, u - pr)), int(min(W, u + pr + 1))
+            y0, y1 = int(max(0, v - pr)), int(min(H, v + pr + 1))
+            if x0 >= x1 or y0 >= y1:
+                continue
+            yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+            d2 = ((xx - u) ** 2 + (yy - v) ** 2) / (pr * pr)
+            mask = (d2 <= 1.0) & (z < zbuf[y0:y1, x0:x1])
+            shade = (0.55 + 0.45 * np.sqrt(np.maximum(1.0 - d2, 0.0)))
+            patch = img[y0:y1, x0:x1]
+            patch[mask] = (colors[i] * shade[..., None])[mask]
+            zb = zbuf[y0:y1, x0:x1]
+            zb[mask] = z
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def write_png(path: str, rgb: np.ndarray):
+    """Minimal PNG encoder (8-bit RGB) — no imageio/PIL dependency."""
+    h, w = rgb.shape[:2]
+    raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+class FrameRecorder:
+    """Frame capture loop (the reference's record-frames path,
+    vec_task.py `render` + virtual_screen_capture)."""
+
+    def __init__(self, task, env_index: int = 0, **camera_kwargs):
+        self.task = task
+        self.env_index = env_index
+        self.camera_kwargs = camera_kwargs
+        self.frames = []
+
+    def capture(self, env_state):
+        out = self.task.engine.forward(env_state.sim)
+        bp = np.asarray(out.body_pos[self.env_index])
+        bq = np.asarray(out.body_quat[self.env_index])
+        frame = render_rgb(self.task.model, bp, bq,
+                           ground=getattr(self.task.engine, "ground", True),
+                           **self.camera_kwargs)
+        self.frames.append(frame)
+        return frame
+
+    def save(self, out_dir: str, prefix: str = "frame"):
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, f in enumerate(self.frames):
+            p = os.path.join(out_dir, f"{prefix}_{i:04d}.png")
+            write_png(p, f)
+            paths.append(p)
+        return paths
