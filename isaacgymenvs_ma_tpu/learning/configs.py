@@ -215,6 +215,13 @@ _TRAIN: Dict[str, dict] = {
         "FrankaCubeStack", units=[256, 128, 64], reward_shaper={"scale_value": 0.1},
         max_epochs=10000, horizon_length=32, minibatch_size=16384, mini_epochs=8,
     ),
+    # the fork's FSM cube-stack (cfg/train/FrankaCubeStack2PPO.yaml)
+    "FrankaCubeStack2": _cfg(
+        "FrankaCubeStack2", units=[256, 128, 64],
+        reward_shaper={"scale_value": 0.1}, max_epochs=300,
+        horizon_length=32, minibatch_size=16384, mini_epochs=8,
+        learning_rate=3e-4,
+    ),
     "HumanoidAMP": _cfg(
         "HumanoidAMP", algo="amp_continuous", units=[1024, 512],
         reward_shaper={"scale_value": 1.0}, max_epochs=5000,

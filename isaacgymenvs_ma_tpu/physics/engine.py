@@ -48,11 +48,19 @@ from ..ops import maths
 # Override with IGMA_MATMUL_PRECISION=default|high|highest.
 import os as _os
 
-_HI = {
+_PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("IGMA_MATMUL_PRECISION", "high")]
+}
+_HI = _PREC[_os.environ.get("IGMA_MATMUL_PRECISION", "high")]
+# The contact-solver matvecs dominate the marked-matmul volume (8-16
+# iterations x substeps); they tolerate a lower tier than the mass-matrix
+# chain because the sim-health safety net bounds solver drift while an
+# indefinite mass matrix poisons everything.  Tunable separately.
+_SOLVER = _PREC[_os.environ.get("IGMA_SOLVER_PRECISION",
+                                _os.environ.get("IGMA_MATMUL_PRECISION",
+                                                "high"))]
 
 
 def _mm(a, b):
@@ -728,7 +736,7 @@ class PhysicsEngine:
         J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, self.nv)
         HinvJ_rows = jax.lax.dot_general(
             J_rows, Hinv, (((2,), (1,)), ((0,), (0,))),
-            precision=_HI)                                      # (N, P*3, nv)
+            precision=_SOLVER)                                      # (N, P*3, nv)
         HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, self.nv), 2, 3)
         w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
 
@@ -769,7 +777,7 @@ class PhysicsEngine:
             Ng, Gg = g_J.shape[0], g_J.shape[1]
             gJ_rows = jnp.swapaxes(g_J, 2, 3).reshape(Ng, Gg * 3, self.nv)
             gHJ_rows = jax.lax.dot_general(
-                gJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))), precision=_HI)
+                gJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))), precision=_SOLVER)
             g_HJ = jnp.swapaxes(gHJ_rows.reshape(Ng, Gg, 3, self.nv), 2, 3)
             g_W = jnp.maximum(jnp.sum(g_J * g_HJ, axis=2), 1e-8)
             if grab_active is None:
@@ -795,7 +803,7 @@ class PhysicsEngine:
             Na, Aa = att_J.shape[0], att_J.shape[1]
             aJ_rows = jnp.swapaxes(att_J, 2, 3).reshape(Na, Aa * 3, self.nv)
             aHJ_rows = jax.lax.dot_general(
-                aJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))), precision=_HI)
+                aJ_rows, Hinv, (((2,), (1,)), ((0,), (0,))), precision=_SOLVER)
             att_HJ = jnp.swapaxes(aHJ_rows.reshape(Na, Aa, 3, self.nv), 2, 3)
             att_W = jnp.maximum(jnp.sum(att_J * att_HJ, axis=2), 1e-8)
             lam_att = jnp.zeros(att_b.shape, qd.dtype)
@@ -817,11 +825,11 @@ class PhysicsEngine:
 
         def matvec(A, x):  # (N, R, nv) x (N, nv) -> (N, R)
             return jax.lax.dot_general(A, x, (((2,), (1,)), ((0,), (0,))),
-                                       precision=_HI)
+                                       precision=_SOLVER)
 
         def matvec_T(x, A):  # (N, R) x (N, R, nv) -> (N, nv)
             return jax.lax.dot_general(x, A, (((1,), (1,)), ((0,), (0,))),
-                                       precision=_HI)
+                                       precision=_SOLVER)
 
         Jr = flat_rows(J)
         HJr = flat_rows(HinvJ)
@@ -904,7 +912,7 @@ class PhysicsEngine:
             lam_hi_new = jnp.where(
                 act_hi, jnp.maximum(lam_hi + (b_hi + qd_c) / hinv_diag, 0.0), 0.0)
             dlim = (lam_lo_new - lam_lo) - (lam_hi_new - lam_hi)
-            qd_c = qd_c + jnp.einsum("nvw,nw->nv", Hinv, dlim, precision=_HI)
+            qd_c = qd_c + jnp.einsum("nvw,nw->nv", Hinv, dlim, precision=_SOLVER)
             return (qd_c, lam_lo_new, lam_hi_new), None
 
         (qd, _, _), _ = jax.lax.scan(

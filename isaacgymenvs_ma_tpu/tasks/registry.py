@@ -19,7 +19,7 @@ _TASKS: Dict[str, Tuple[str, str]] = {
     "FrankaCombineMA": (".franka_combine_ma", "FrankaCombineMA"),
     "FrankaCabinet": (".franka_cabinet", "FrankaCabinet"),
     "FrankaCubeStack": (".franka_cube_stack", "FrankaCubeStack"),
-    "FrankaCubeStack2": (".franka_cube_stack", "FrankaCubeStack"),
+    "FrankaCubeStack2": (".franka_cube_stack2", "FrankaCubeStack2"),
     "ShadowHand": (".shadow_hand", "ShadowHand"),
     "AllegroHand": (".allegro_hand", "AllegroHand"),
     "AllegroHandDextremeManualDR": (".allegro_hand_dextreme",
