@@ -80,6 +80,10 @@ class SimParams(NamedTuple):
     max_depenetration_velocity: float = 10.0  # physx cfg parity
     plane_friction: float = 1.0
     plane_restitution: float = 0.0
+    # evaluate the articulation inertia/mass-matrix chain once per control
+    # step and reuse across substeps (PhysX does the same); the chain drifts
+    # O(h*qd) within a step
+    reuse_mass_matrix: bool = False
 
 
 class Control(NamedTuple):
@@ -521,7 +525,13 @@ class PhysicsEngine:
 
     # ------------------------------------------------------------------
     # substep
-    def substep(self, q, qd, ctrl: Control, terrain=None, phys=None):
+    def substep(self, q, qd, ctrl: Control, terrain=None, phys=None,
+                dyn_cache=None):
+        # dyn_cache: optional (I_O, M, Hinv) from an earlier substep of the
+        # same control step.  The mass-matrix chain varies O(h*qd) within a
+        # control step, so reusing it (PhysX evaluates articulation inertia
+        # once per step too) halves the HIGH-precision matmul volume;
+        # FK / contact geometry / bias force always refresh.
         h = self.h
         N = q.shape[0]
         f32 = q.dtype
@@ -529,9 +539,12 @@ class PhysicsEngine:
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)
         V = self.body_velocities(S, qd)
-        I_O, com_w = self.spatial_inertia(
-            body_x, body_q, None if phys is None else phys.mass)
-        M = self.mass_matrix(S, I_O)
+        if dyn_cache is None:
+            I_O, com_w = self.spatial_inertia(
+                body_x, body_q, None if phys is None else phys.mass)
+            M = self.mass_matrix(S, I_O)
+        else:
+            I_O, M, _ = dyn_cache
         C = self.bias_force(S, qd, V, I_O)
 
         # scalar joint coordinates (hinge/slide) for springs, limits, drives
@@ -570,8 +583,12 @@ class PhysicsEngine:
             rhs = rhs + jnp.einsum("nvd,vb,nbd->nv", S, self.dof_body_mask_f, f_o)
 
         diag = self.dof_armature + h * (d_damp + kd_drive) + h * h * (k_spring + kp_drive)
-        H = M + self._diag_embed(jnp.broadcast_to(diag, (N, self.nv)).astype(f32))
-        Hinv = spd_inverse(H)
+        if dyn_cache is None:
+            H = M + self._diag_embed(
+                jnp.broadcast_to(diag, (N, self.nv)).astype(f32))
+            Hinv = spd_inverse(H)
+        else:
+            Hinv = dyn_cache[2]
 
         qdd = jnp.einsum("nij,nj->ni", Hinv, rhs, precision=_HI)
         qd_new = qd + h * qdd
@@ -594,7 +611,8 @@ class PhysicsEngine:
 
         # ---------------- integrate
         q_new = self._integrate(q, qd_new)
-        return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w, imp_dof)
+        return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w,
+                               imp_dof, (I_O, M, Hinv))
 
     @staticmethod
     def _sdf_local(gtype: int, size, p):
@@ -954,12 +972,16 @@ class PhysicsEngine:
         impulse_accum = None
         imp_dof_accum = jnp.zeros_like(qd)
         aux = None
+        cache = None
         for _ in range(self.params.substeps):
-            q, qd, aux = self.substep(q, qd, ctrl, terrain, phys)
+            q, qd, aux = self.substep(q, qd, ctrl, terrain, phys,
+                                      dyn_cache=cache)
+            if self.params.reuse_mass_matrix:
+                cache = aux[7]
             if aux[4] is not None:
                 impulse_accum = aux[4] if impulse_accum is None else impulse_accum + aux[4]
             imp_dof_accum = imp_dof_accum + aux[6]
-        body_x, body_q, V, qdd, _, p_w, _ = aux
+        body_x, body_q, V, qdd, _, p_w, _, _ = aux
         # refresh kinematic outputs at the *new* state
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)

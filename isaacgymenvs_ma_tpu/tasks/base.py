@@ -55,6 +55,7 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
     physx = sim_cfg.get("physx", {})
     n_iter = int(physx.get("num_position_iterations", 4)) + int(
         physx.get("num_velocity_iterations", 0))
+    import os
     return SimParams(
         dt=float(sim_cfg.get("dt", 1.0 / 60.0)),
         substeps=int(sim_cfg.get("substeps", 2)),
@@ -62,6 +63,8 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         num_iterations=max(2 * n_iter, 8),
         max_depenetration_velocity=float(
             physx.get("max_depenetration_velocity", 10.0)),
+        # perf experiment knob: reuse the mass-matrix chain across substeps
+        reuse_mass_matrix=os.environ.get("IGMA_MM_REUSE", "0") == "1",
     )
 
 
