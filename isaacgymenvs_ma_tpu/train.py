@@ -88,6 +88,14 @@ def launch(argv=None):
     run_dir = os.path.join("runs", f"{exp_name}_{datetime.now():%d-%H-%M-%S}")
     nn_dir = os.path.join(run_dir, "nn")
 
+    # per-run config snapshot (reference train.py:204-210)
+    if jax.process_index() == 0:
+        os.makedirs(run_dir, exist_ok=True)
+        import yaml
+        with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump({"global": cfg, "task": task_cfg,
+                            "train": train_cfg}, f, default_flow_style=False)
+
     observers = [TensorboardObserver(os.path.join(run_dir, "summaries"))]
     if cfg.get("wandb_activate") and jax.process_index() == 0:
         observers.append(WandbObserver(
