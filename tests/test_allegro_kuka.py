@@ -40,6 +40,7 @@ def reo():
     return _make("reorientation")
 
 
+@pytest.mark.slow
 def test_step_finite(reo):
     st = reo.initial_state(jax.random.PRNGKey(0))
     step = jax.jit(reo.step)
@@ -74,6 +75,7 @@ def test_curriculum_and_true_objective(reo):
     assert np.asarray(to2)[0] == pytest.approx(11.0, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_goal_reset_on_success(reo):
     st = reo.initial_state(jax.random.PRNGKey(0))
     st, _ = jax.jit(reo.step)(st, reo.zero_actions())

@@ -40,6 +40,7 @@ def test_fsm_stages(task):
     assert (f(near, lifted_h, close_ab, opened) == 6).all()
 
 
+@pytest.mark.slow
 def test_step_runs(task):
     st = task.initial_state(jax.random.PRNGKey(0))
     step = jax.jit(task.step)

@@ -24,6 +24,7 @@ def pick():
     return _make(FactoryTaskNutBoltPick, "FactoryTaskNutBoltPick")
 
 
+@pytest.mark.slow
 def test_pick_step_finite(pick):
     st = pick.initial_state(jax.random.PRNGKey(0))
     step = jax.jit(pick.step)
@@ -38,6 +39,7 @@ def test_pick_step_finite(pick):
     assert (np.abs(nut_z - (TABLE_HEIGHT + NUT_HEIGHT / 2)) < 0.05).all()
 
 
+@pytest.mark.slow
 def test_pick_controller_moves_gripper(pick):
     """+z action must raise the fingertip midpoint (joint_space_id ctrl)."""
     st = pick.initial_state(jax.random.PRNGKey(1))
@@ -53,6 +55,7 @@ def test_pick_controller_moves_gripper(pick):
     assert z1 > z0 + 0.01, f"{z0} -> {z1}"
 
 
+@pytest.mark.slow
 def test_place_obs_and_reset():
     t = _make(FactoryTaskNutBoltPlace, "FactoryTaskNutBoltPlace")
     st = t.initial_state(jax.random.PRNGKey(0))
@@ -66,6 +69,7 @@ def test_place_obs_and_reset():
     assert (np.linalg.norm(nut_pos - ft, axis=-1) < 0.1).all()
 
 
+@pytest.mark.slow
 def test_screw_task_threads_nut():
     t = _make(FactoryTaskNutBoltScrew, "FactoryTaskNutBoltScrew")
     st = t.initial_state(jax.random.PRNGKey(0))
@@ -93,7 +97,7 @@ def test_screw_task_threads_nut():
     assert float(res2.extras["successes"]) > 0.9
 
 
-def test_ctrl_modes_build(pick):
+def test_ctrl_modes_build():
     """All controller modes parse against the factory ctrl schema."""
     from isaacgymenvs_ma_tpu.ops.controllers import parse_ctrl_cfg
     from isaacgymenvs_ma_tpu.tasks.factory import _CTRL_YAML

@@ -40,6 +40,7 @@ def pegs():
     return IndustRealTaskPegsInsert(cfg)
 
 
+@pytest.mark.slow
 def test_pegs_step_finite(pegs):
     st = pegs.initial_state(jax.random.PRNGKey(0))
     step = jax.jit(pegs.step)

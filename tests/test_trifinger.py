@@ -65,6 +65,7 @@ def test_goal_sampling_difficulties(task):
     task.difficulty = 4
 
 
+@pytest.mark.slow
 def test_step_and_obs_shapes(task):
     st = task.initial_state(jax.random.PRNGKey(0))
     step = jax.jit(task.step)
@@ -80,6 +81,7 @@ def test_step_and_obs_shapes(task):
     assert np.abs(np.asarray(res.obs)).mean() < 1.5
 
 
+@pytest.mark.slow
 def test_fingers_reach_reward_sign(task):
     """Moving fingertips toward the object must make reach term positive
     (weight is negative; distance decreasing -> curr-prev < 0)."""
