@@ -248,6 +248,26 @@ class PPOAgent:
         """Per-step rollout extras hook (AMP grabs extras['amp_obs'])."""
         return ()
 
+    @staticmethod
+    def _scalar_extras(extras):
+        """Numeric task extras -> scalar means for the observer channel
+        (RLGPUAlgoObserver episode aggregation, rlgames_utils.py:149-209).
+        One level of nesting is flattened (extras['episode'][term])."""
+        out = {}
+
+        def add(k, v):
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    add(f"{k}/{k2}", v2)
+            elif hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.number)                     and v.dtype != jnp.bool_:
+                out[k] = jnp.mean(v.astype(jnp.float32))
+
+        for k, v in extras.items():
+            if k == "time_outs" or k.startswith("_"):
+                continue
+            add(k, v)
+        return out
+
     def _transform_rewards(self, state: PPOState, roll: Rollout) -> Rollout:
         """Reward post-processing hook (AMP combines disc rewards here)."""
         return roll
@@ -304,11 +324,11 @@ class PPOAgent:
                           rewards=rew, dones=done, mu=mu, sigma=sigma,
                           aux=self._collect_aux(res))
             return (env_state, res.obs, next_states, rnn_next, key,
-                    ep_ret, ep_len, fin), out
+                    ep_ret, ep_len, fin), (out, self._scalar_extras(res.extras))
 
         fin0 = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
         (env_state, last_obs, last_states, last_carry, key, ep_ret, ep_len,
-         fin), roll = jax.lax.scan(
+         fin), (roll, extra_seq) = jax.lax.scan(
             step_fn,
             (state.env_state, state.last_obs, state.last_states, state.carry,
              state.key, state.ep_return, state.ep_length, fin0),
@@ -326,6 +346,8 @@ class PPOAgent:
                                ep_return=ep_ret, ep_length=ep_len,
                                mean_return=mean_return, mean_length=mean_length)
         stats = {"episodes_done": fin_cnt}
+        for k, v in extra_seq.items():
+            stats[f"episode/{k}"] = jnp.mean(v)
         return state, roll, last_obs, stats
 
     def _gae(self, state: PPOState, roll: Rollout, last_obs: jax.Array):
@@ -546,6 +568,9 @@ class PPOAgent:
             "mean_length": state.mean_length, "frames": state.frames,
             "episodes_done": stats["episodes_done"],
         }
+        # aggregated task extras (Episode/* channel — rlgames_utils.py:149)
+        out_metrics.update({k: v for k, v in stats.items()
+                            if k.startswith("episode/")})
         return state, out_metrics
 
     # ------------------------------------------------------------------

@@ -125,3 +125,16 @@ def test_sac_trains_on_toy():
     assert np.isfinite(float(m["critic_loss"]))
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree.leaves(st.actor_params))
+
+
+def test_scalar_extras_aggregation():
+    extras = {"time_outs": jnp.zeros(4, bool),
+              "_internal": jnp.zeros(4),
+              "consecutive_successes": jnp.asarray([1.0, 3.0, 5.0, 7.0]),
+              "episode": {"rew_lin_vel": jnp.full(4, 2.0),
+                          "rew_torque": jnp.full(4, -1.0)}}
+    out = PPOAgent._scalar_extras(extras)
+    assert set(out) == {"consecutive_successes", "episode/rew_lin_vel",
+                        "episode/rew_torque"}
+    assert float(out["consecutive_successes"]) == 4.0
+    assert float(out["episode/rew_torque"]) == -1.0
