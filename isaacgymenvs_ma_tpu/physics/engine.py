@@ -81,9 +81,11 @@ class SimParams(NamedTuple):
     plane_friction: float = 1.0
     plane_restitution: float = 0.0
     # evaluate the articulation inertia/mass-matrix chain once per control
-    # step and reuse across substeps (PhysX does the same); the chain drifts
-    # O(h*qd) within a step
-    reuse_mass_matrix: bool = False
+    # step and reuse across substeps (PhysX evaluates articulation inertia
+    # once per step the same way); the chain drifts O(h*qd) within a step.
+    # Measured on Ant/TPU: 718k -> 1.059M env-steps/s with the BEST training
+    # curve of the precision sweep (BASELINE.md)
+    reuse_mass_matrix: bool = True
 
 
 class Control(NamedTuple):

