@@ -26,6 +26,10 @@ _TASKS: Dict[str, Tuple[str, str]] = {
                                     "AllegroHandDextremeManualDR"),
     "AllegroHandDextremeADR": (".allegro_hand_dextreme",
                                "AllegroHandDextremeADR"),
+    # reference registry short names (tasks/__init__.py:98-99)
+    "AllegroHandManualDR": (".allegro_hand_dextreme",
+                            "AllegroHandDextremeManualDR"),
+    "AllegroHandADR": (".allegro_hand_dextreme", "AllegroHandDextremeADR"),
     "Trifinger": (".trifinger", "Trifinger"),
     "FactoryTaskNutBoltPick": (".factory", "FactoryTaskNutBoltPick"),
     "FactoryTaskNutBoltPlace": (".factory", "FactoryTaskNutBoltPlace"),
