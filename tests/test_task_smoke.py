@@ -29,8 +29,7 @@ HEAVY = [
 ]
 
 
-@pytest.mark.parametrize("name,n,steps", FAST)
-def test_task_steps_finite(name, n, steps):
+def _run_task_steps(name, n, steps):
     cfg = deep_merge(registry.task_default_config(name),
                      {"env": {"numEnvs": n}})
     task = registry.create_task(name, cfg)
@@ -56,7 +55,12 @@ def test_task_steps_finite(name, n, steps):
     assert info["agents"] == task.num_agents
 
 
+@pytest.mark.parametrize("name,n,steps", FAST)
+def test_task_steps_finite(name, n, steps):
+    _run_task_steps(name, n, steps)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name,n,steps", HEAVY)
 def test_heavy_task_steps_finite(name, n, steps):
-    test_task_steps_finite.__wrapped__(name, n, steps)
+    _run_task_steps(name, n, steps)
