@@ -163,11 +163,6 @@ class ShadowHand(VecTaskBase):
             hand.dof_drive_mode[d] = DRIVE_POS
             hand.dof_stiffness[d] = 3.0
             hand.dof_drive_damping[d] = 0.1
-        for b in self.__class__.__dict__.get("_extra", []):
-            pass
-        for n in FINGERTIP_BODIES:
-            # fingertip force sensors (ref :228-232)
-            pass
         ob = ModelBuilder()
         ob.begin_actor()
         obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
