@@ -28,6 +28,10 @@ import numpy as np
 FREE, HINGE, SLIDE, FIXED, SCREW = 0, 1, 2, 3, 4
 # geom types
 GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX, GEOM_PLANE, GEOM_CYLINDER = 0, 1, 2, 3, 4
+# mesh shape represented by a baked signed-distance voxel grid (the
+# TPU-native analog of PhysX SDF collisions, docs/factory.md §Collisions;
+# grids are baked by native/sdf_voxelize.cpp at build time)
+GEOM_SDF = 5
 # dof drive modes (mirror gymapi.DOF_MODE_*, set via dof props as in
 # tasks/cartpole.py:115-119)
 DRIVE_NONE, DRIVE_POS, DRIVE_VEL, DRIVE_EFFORT = 0, 1, 2, 3
@@ -170,6 +174,13 @@ class Geom:
     friction: float = 1.0
     contact: bool = True          # participates in collision
     name: str = ""
+    # GEOM_SDF payload: baked signed-distance voxel grid in the geom frame
+    sdf_values: Optional[np.ndarray] = None    # (dx, dy, dz) f32
+    sdf_origin: Optional[np.ndarray] = None    # (3,)
+    sdf_spacing: Optional[np.ndarray] = None   # (3,)
+    # optional explicit contact-candidate cloud (local frame) — used for
+    # mesh-shaped bodies whose corners/crests should collide with targets
+    contact_points: Optional[np.ndarray] = None  # (P, 3)
 
 
 @dataclasses.dataclass
@@ -326,6 +337,67 @@ class ModelBuilder:
         if density is not None:
             m, c, i = geom_mass_props(gtype, g.size, density)
             self._accumulate_inertia(body, m, c, i, g.pos, g.quat)
+        return len(self.geoms) - 1
+
+    def add_sdf_geom(self, body: int, verts, tris, pos=(0, 0, 0),
+                     quat=(0, 0, 0, 1), density: Optional[float] = None,
+                     friction: float = 1.0, resolution: int = 48,
+                     contact_samples: int = 0, name: str = ""):
+        """Mesh geom baked to a signed-distance voxel grid (native
+        voxelizer — the analog of PhysX SDF collisions, docs/factory.md).
+        Acts as a collision *target* in engine pair_specs; with
+        ``contact_samples`` > 0 an area-weighted surface cloud is attached
+        so the mesh can also carry candidate points (collide as geom A).
+        Mass properties integrate the interior voxels."""
+        from ..native import voxelize_mesh
+        verts = np.asarray(verts, np.float32)
+        tris = np.asarray(tris, np.int32)
+        lo = verts.min(0)
+        hi = verts.max(0)
+        margin = float((hi - lo).max()) * 0.15
+        lo = lo - margin
+        hi = hi + margin
+        h = float((hi - lo).max()) / max(resolution - 1, 3)
+        dims = np.maximum(np.ceil((hi - lo) / h).astype(np.int32) + 1, 4)
+        vals = voxelize_mesh(verts, tris, lo, np.full(3, h, np.float32),
+                             dims)
+        cp = None
+        if contact_samples:
+            from .meshes import surface_sample
+            cp = surface_sample(verts, tris, contact_samples)
+        g = Geom(
+            body=body, gtype=GEOM_SDF, size=(hi - lo) / 2.0,
+            pos=np.asarray(pos, np.float64),
+            quat=np.asarray(quat, np.float64), friction=friction,
+            contact=True, name=name, sdf_values=vals,
+            sdf_origin=lo.astype(np.float64),
+            sdf_spacing=np.full(3, h, np.float64), contact_points=cp)
+        self.geoms.append(g)
+        if density is not None:
+            inside = np.argwhere(vals < 0)
+            if len(inside):
+                centers = lo[None, :] + h * inside.astype(np.float64)
+                vol = h ** 3
+                m = density * vol * len(inside)
+                com = centers.mean(0)
+                d = centers - com
+                inertia = density * vol * (
+                    np.eye(3) * (d * d).sum() - d.T @ d)
+                self._accumulate_inertia(body, m, com, inertia, g.pos,
+                                         g.quat)
+        return len(self.geoms) - 1
+
+    def add_contact_points(self, body: int, pts, radius: float = 0.0,
+                           friction: float = 1.0, name: str = ""):
+        """Attach an explicit contact-candidate point cloud to a body (one
+        zero-size sphere geom carrying the cloud) — e.g. crest points of a
+        threaded rod colliding with a nut's SDF grid."""
+        g = Geom(body=body, gtype=GEOM_SPHERE,
+                 size=np.array([radius, 0.0, 0.0]),
+                 pos=np.zeros(3), quat=np.array([0.0, 0, 0, 1]),
+                 friction=friction, contact=True, name=name,
+                 contact_points=np.asarray(pts, np.float32))
+        self.geoms.append(g)
         return len(self.geoms) - 1
 
     def _accumulate_inertia(self, body, m, com_g, I_g, pos, quat):

@@ -253,7 +253,12 @@ class PhysicsEngine:
             if not g.contact:
                 continue
             Rg = md._quat_to_mat_np(g.quat)
-            if g.gtype == md.GEOM_SPHERE:
+            if getattr(g, "contact_points", None) is not None:
+                # explicit candidate cloud (mesh surface samples etc.)
+                cands = [np.asarray(c, np.float64)
+                         for c in g.contact_points]
+                r = float(g.size[0]) if g.gtype == md.GEOM_SPHERE else 0.0
+            elif g.gtype == md.GEOM_SPHERE:
                 cands = [np.zeros(3)]
                 r = g.size[0]
             elif g.gtype == md.GEOM_CAPSULE:
@@ -296,7 +301,7 @@ class PhysicsEngine:
             gA, gB = m.geoms[ga], m.geoms[gb]
             idx = np.asarray(geom_pts[ga], np.int32)
             row_mask = dbm[:, self.pts_body[idx]].T - dbm[:, gB.body][None, :]
-            self.pairs.append(dict(
+            pair = dict(
                 pt_idx=idx,
                 tgt_body=int(gB.body),
                 tgt_type=int(gB.gtype),
@@ -305,7 +310,15 @@ class PhysicsEngine:
                 tgt_quat=f32(gB.quat),
                 mu=float(0.5 * (gA.friction + gB.friction)),
                 row_mask=f32(row_mask),          # (k, nv) signed
-            ))
+            )
+            if gB.gtype == md.GEOM_SDF:
+                # baked mesh target: narrowphase samples the voxel grid
+                from . import sdf_grid as _sg
+                pair["grid"] = _sg.SDFGrid(
+                    values=f32(gB.sdf_values),
+                    origin=f32(gB.sdf_origin),
+                    spacing=f32(gB.sdf_spacing))
+            self.pairs.append(pair)
         self.n_pair_rows = sum(len(p["pt_idx"]) for p in self.pairs)
         # static contact-row body attribution (A gets +f, B gets -f; -1 = world)
         ra, rb = [], []
@@ -435,16 +448,35 @@ class PhysicsEngine:
 
     # ------------------------------------------------------------------
     # dynamics pieces
-    def spatial_inertia(self, body_x, body_q, mass_scale=None):
+    def spatial_inertia(self, body_x, body_q, mass_scale=None,
+                        shape_scale=None):
         """World spatial inertia about the origin, (N, nb, 6, 6).
 
         ``mass_scale``: optional per-env factor (N, 1|nb) — DR mass scaling
-        (scales inertia proportionally, like PhysX density scaling)."""
+        (scales inertia proportionally, like PhysX density scaling).
+        ``shape_scale``: optional per-env anisotropic geometry scale
+        (N, nb, 3) in the body frame — per-env object-dimension
+        randomization (reference generates one URDF per cuboid size,
+        allegro_kuka/generate_cuboids.py:38-81; here sizes are per-env
+        leaves).  Mass scales by sx*sy*sz; the local inertia transforms
+        exactly for uniform density via the second-moment matrix
+        C = tr(I)/2·1 − I,  C' = (sx sy sz)·S C S,  I' = tr(C')·1 − C'."""
         R = maths.quat_to_rotmat(body_q)                       # (N, nb, 3, 3)
         I_loc = jnp.broadcast_to(self.inertia.astype(body_x.dtype), R.shape)
-        Ic = _mm(_mm(R, I_loc), jnp.swapaxes(R, -1, -2))
-        c = body_x + maths.quat_apply(body_q, self.com)        # world com
+        com = self.com
         m = self.mass[None, :, None, None]
+        if shape_scale is not None:
+            s = shape_scale.astype(body_x.dtype)               # (N, nb, 3)
+            svol = jnp.prod(s, axis=-1)[..., None, None]       # (N, nb, 1, 1)
+            tr = jnp.einsum("...ii->...", I_loc)[..., None, None]
+            Cm = 0.5 * tr * jnp.eye(3, dtype=body_x.dtype) - I_loc
+            Cm = svol * (s[..., :, None] * Cm * s[..., None, :])
+            trc = jnp.einsum("...ii->...", Cm)[..., None, None]
+            I_loc = trc * jnp.eye(3, dtype=body_x.dtype) - Cm
+            m = m * svol
+            com = com * s
+        Ic = _mm(_mm(R, I_loc), jnp.swapaxes(R, -1, -2))
+        c = body_x + maths.quat_apply(body_q, com)             # world com
         if mass_scale is not None:
             m = m * mass_scale[:, :, None, None]
             Ic = Ic * mass_scale[:, :, None, None]
@@ -540,9 +572,11 @@ class PhysicsEngine:
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)
         V = self.body_velocities(S, qd)
+        shape_scale = None if phys is None else getattr(phys, "shape", None)
         if dyn_cache is None:
             I_O, com_w = self.spatial_inertia(
-                body_x, body_q, None if phys is None else phys.mass)
+                body_x, body_q, None if phys is None else phys.mass,
+                shape_scale)
             M = self.mass_matrix(S, I_O)
         else:
             I_O, M, _ = dyn_cache
@@ -601,7 +635,7 @@ class PhysicsEngine:
             qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain,
                 None if phys is None else phys.friction,
-                grab_active=ctrl.grab_active)
+                grab_active=ctrl.grab_active, shape_scale=shape_scale)
         else:
             qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
             p_w = None
@@ -617,22 +651,27 @@ class PhysicsEngine:
 
     @staticmethod
     def _sdf_local(gtype: int, size, p):
-        """Signed distance + outward normal of a primitive at local point(s) p."""
+        """Signed distance + outward normal of a primitive at local point(s) p.
+
+        ``size`` is either a static (3,) vector or a per-env batch
+        broadcastable against p (e.g. (N, 1, 3) under per-env shape DR)."""
         eps = 1e-9
+        size = jnp.asarray(size)
         if gtype == md.GEOM_SPHERE:
             r = jnp.linalg.norm(p, axis=-1, keepdims=True)
             n = p / jnp.maximum(r, eps)
-            return r[..., 0] - size[0], n
+            return r[..., 0] - size[..., 0], n
         if gtype == md.GEOM_CAPSULE:
-            z = jnp.clip(p[..., 2:3], -size[1], size[1])
+            hl = size[..., 1:2]
+            z = jnp.clip(p[..., 2:3], -hl, hl)
             d = p - jnp.concatenate([jnp.zeros_like(z), jnp.zeros_like(z), z], -1)
             r = jnp.linalg.norm(d, axis=-1, keepdims=True)
             n = d / jnp.maximum(r, eps)
-            return r[..., 0] - size[0], n
+            return r[..., 0] - size[..., 0], n
         if gtype == md.GEOM_CYLINDER:
             rad = jnp.linalg.norm(p[..., :2], axis=-1)
-            a = rad - size[0]                      # radial distance to side
-            b = jnp.abs(p[..., 2]) - size[1]       # axial distance to cap
+            a = rad - size[..., 0]                 # radial distance to side
+            b = jnp.abs(p[..., 2]) - size[..., 1]  # axial distance to cap
             outside = jnp.sqrt(jnp.square(jnp.maximum(a, 0)) + jnp.square(jnp.maximum(b, 0)))
             dist = jnp.minimum(jnp.maximum(a, b), 0.0) + outside
             radial_n = p[..., :2] / jnp.maximum(rad, eps)[..., None]
@@ -669,25 +708,51 @@ class PhysicsEngine:
         t2 = jnp.cross(n, t1)
         return jnp.stack([t1, t2, n], axis=-1)
 
-    def _pair_rows(self, body_x, body_q):
-        """Narrowphase for body-pair contacts: (p, phi, mu, row_mask, n)."""
+    def _pair_rows(self, body_x, body_q, shape_scale=None):
+        """Narrowphase for body-pair contacts: (p, phi, mu, row_mask, n).
+
+        ``shape_scale`` (N, nb, 3): per-env body-frame geometry scale — scales
+        the candidate-point offsets/radii of geom A and the SDF extents/offset
+        of geom B (per-env object-dimension DR)."""
         ps, phis, mus, masks, ns = [], [], [], [], []
         for pr_ in self.pairs:
             idx = pr_["pt_idx"]
             xb = body_x[:, self.pts_body[idx]]
             qb = body_q[:, self.pts_body[idx]]
-            p = xb + maths.quat_apply(qb, self.pts_off[idx])
+            off = self.pts_off[idx]
+            rad = self.pts_rad[idx]
+            tgt_size = pr_["tgt_size"]
+            tgt_pos = pr_["tgt_pos"]
+            if shape_scale is not None:
+                sp = shape_scale[:, self.pts_body[idx]]        # (N, k, 3)
+                off = off * sp
+                # sphere/capsule radii only scale meaningfully when uniform
+                rad = rad * jnp.mean(sp, axis=-1)
+                st = shape_scale[:, pr_["tgt_body"], None, :]  # (N, 1, 3)
+                tgt_size = tgt_size * st
+                tgt_pos = tgt_pos * st[:, 0]
+            p = xb + maths.quat_apply(qb, off)
             tb = pr_["tgt_body"]
             x_t = body_x[:, tb, None, :] + maths.quat_apply(
-                body_q[:, tb, None, :], pr_["tgt_pos"])
+                body_q[:, tb, None, :],
+                tgt_pos if shape_scale is None else tgt_pos[:, None, :])
             q_t = maths.quat_mul(body_q[:, tb, None, :],
                                  jnp.broadcast_to(pr_["tgt_quat"], qb.shape))
             lp = maths.quat_rotate_inverse(q_t, p - x_t)
-            d, n_l = self._sdf_local(pr_["tgt_type"], pr_["tgt_size"], lp)
+            if pr_["tgt_type"] == md.GEOM_SDF:
+                from . import sdf_grid as _sg
+                if shape_scale is not None:
+                    # uniform-scale approximation: d_s(p) = s * d(p / s)
+                    st_ = shape_scale[:, pr_["tgt_body"], None, :]
+                    d, n_l = _sg.sample_with_normal(pr_["grid"], lp / st_)
+                    d = d * jnp.mean(st_, -1)
+                else:
+                    d, n_l = _sg.sample_with_normal(pr_["grid"], lp)
+            else:
+                d, n_l = self._sdf_local(pr_["tgt_type"], tgt_size, lp)
             n_w = maths.quat_apply(q_t, n_l)
-            rad = self.pts_rad[idx]
             phi = d - rad
-            p_c = p - rad[None, :, None] * n_w
+            p_c = p - rad[..., None] * n_w
             ps.append(p_c)
             phis.append(phi)
             mus.append(jnp.full((len(idx),), pr_["mu"], body_x.dtype))
@@ -697,11 +762,14 @@ class PhysicsEngine:
                 jnp.concatenate(mus, 0), jnp.concatenate(masks, 0),
                 jnp.concatenate(ns, 1))
 
-    def _contact_point_jacobian(self, body_x, body_q, S):
+    def _contact_point_jacobian(self, body_x, body_q, S, shape_scale=None):
         """World positions p (N, n_pts, 3) and J (N, n_pts, nv, 3)."""
         xb = body_x[:, self.pts_body]                          # (N, P, 3)
         qb = body_q[:, self.pts_body]
-        p = xb + maths.quat_apply(qb, self.pts_off)
+        off = self.pts_off
+        if shape_scale is not None:
+            off = off * shape_scale[:, self.pts_body]          # (N, P, 3)
+        p = xb + maths.quat_apply(qb, off)
         S_ang = S[:, None, :, 0:3]                             # (N, 1, nv, 3)
         S_lin = S[:, None, :, 3:6]
         J = S_lin + _cross(S_ang, p[:, :, None, :])            # (N, P, nv, 3)
@@ -709,18 +777,22 @@ class PhysicsEngine:
         return p, J
 
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
-                       friction_scale=None, grab_active=None):
+                       friction_scale=None, grab_active=None,
+                       shape_scale=None):
         """Projected-Jacobi impulse solve for plane contacts + joint limits."""
         pr = self.params
         h = self.h
         # ---- ground rows
         if self.ground:
-            p, J = self._contact_point_jacobian(body_x, body_q, S)
+            p, J = self._contact_point_jacobian(body_x, body_q, S, shape_scale)
             if terrain is None:
                 ground_z = jnp.zeros(p.shape[:-1], p.dtype)
             else:
                 ground_z = terrain.height_at(p[..., 0], p[..., 1])
-            phi = p[..., 2] - self.pts_rad - ground_z          # (N, P)
+            rad = self.pts_rad
+            if shape_scale is not None:
+                rad = rad * jnp.mean(shape_scale[:, self.pts_body], axis=-1)
+            phi = p[..., 2] - rad - ground_z                   # (N, P)
             mu = self.pts_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
             if friction_scale is not None:
                 mu = mu * friction_scale
@@ -728,7 +800,8 @@ class PhysicsEngine:
             p = J = phi = mu = None
         # ---- body-pair rows (frame-projected)
         if self.pairs:
-            pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q)
+            pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q,
+                                                       shape_scale)
             if friction_scale is not None:
                 pmu = pmu * friction_scale  # per-env DR friction, as on ground
             S_ang = S[:, None, :, 0:3]

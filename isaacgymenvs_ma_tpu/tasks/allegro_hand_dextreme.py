@@ -269,7 +269,7 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
         params = self.adr.sample(jax.random.PRNGKey(3), st)
         return base._replace(adr=st, adr_params=params)
 
-    def initial_phys(self):
+    def initial_phys(self, key=None):
         return PhysScales.ones(self.num_envs)
 
     def update_phys(self, state: EnvState, reset_mask, key):

@@ -28,8 +28,11 @@ Parity surface (allegro_kuka_base.py):
 
 TPU redesign notes: per-env curriculum/goal state lives in the task pytree;
 goal resets are masked updates inside ``reset_idx``; the random-size cuboid
-sweep (generate_cuboids.py) is replaced by the base 0.05 cube — per-env
-geometry sizes would break XLA static shapes (object_scales obs = 1).
+sweep (generate_cuboids.py:38-131) keeps XLA shapes static by expressing the
+per-axis sizes as per-env ``PhysScales.shape`` leaves — the engine scales the
+cuboid's SDF extents, contact points and inertia per env, keypoints/obs carry
+the true per-env scales, matching the reference's per-env URDF assignment
+(allegro_kuka_base.py:414-428).
 The throw-task bucket is a goal volume only (no bucket-wall collisions).
 """
 from __future__ import annotations
@@ -207,6 +210,25 @@ class AllegroKukaBase(VecTaskBase):
         self.object_body = m.body_names.index("object")
         self.obj_qa = int(m.q_adr[self.object_body])
         self.obj_va = int(m.v_adr[self.object_body])
+        # per-env cuboid-dimension randomization: the reference generates one
+        # URDF per size (allegro_kuka/generate_cuboids.py:38-81) and assigns
+        # them round-robin over envs (allegro_kuka_base.py:414-428); here the
+        # per-axis scales are per-env PhysScales.shape leaves consumed by the
+        # engine's narrowphase/inertia, so geometry stays a static XLA shape.
+        self.randomize_object_dims = bool(
+            e.get("randomizeObjectDimensions", True))
+        if self.randomize_object_dims:
+            cat = self._cuboid_scale_catalog(
+                small=bool(e.get("withSmallCuboids", True)),
+                big=bool(e.get("withBigCuboids", True)),
+                sticks=bool(e.get("withSticks", True)))
+            rng = np.random.default_rng(42)
+            rng.shuffle(cat)
+            idx = np.arange(self.num_envs) % len(cat)
+            self.object_scales_np = np.asarray(cat, np.float32)[idx]
+        else:
+            self.object_scales_np = np.ones((self.num_envs, 3), np.float32)
+        self.object_scales = jnp.asarray(self.object_scales_np)
         self.palm_bodies = np.asarray(
             [i for i, n in enumerate(m.body_names) if n.endswith(PALM_BODY)],
             np.int32)
@@ -232,6 +254,54 @@ class AllegroKukaBase(VecTaskBase):
                             for a in range(self.num_arms)]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _cuboid_scale_catalog(small=True, big=True, sticks=True):
+        """Per-axis scale catalog mirroring the reference's procedural cuboid
+        sweep (generate_cuboids.py:96-131): percent scales filtered by
+        relative volume and the thin-plate / non-elongated aspect rules."""
+        def thin(s):
+            s = sorted(s)
+            return s[0] * 3 <= s[1]
+
+        def not_elongated(s):
+            s = sorted(s)
+            return s[2] <= s[0] * 3 or s[2] <= s[1] * 3
+
+        def gen(scales, vmin, vmax, filters):
+            out = []
+            for x in scales:
+                for y in scales:
+                    for z in scales:
+                        v = x * y * z / 1e6
+                        if v < vmin or v > vmax:
+                            continue
+                        if any(f([x, y, z]) for f in filters):
+                            continue
+                        out.append((x / 100.0, y / 100.0, z / 100.0))
+            return out
+
+        cat = [(1.0, 1.0, 1.0)]
+        if small:
+            cat += gen([100, 50, 66, 75, 90, 110, 125, 150, 175, 200, 250,
+                        300], 1.0, 2.5, [])
+        if big:
+            cat += gen([100, 125, 150, 200, 250, 300, 350], 2.5, 15.0, [thin])
+        if sticks:
+            cat += gen([100, 50, 75, 200, 300, 400, 500, 600], 2.5, 6.0,
+                       [thin, not_elongated])
+        return cat
+
+    def initial_phys(self, key=None):
+        phys = super().initial_phys(key)
+        if not self.randomize_object_dims:
+            return phys
+        from ..utils.domain_rand import PhysScales
+        if phys is None:
+            phys = PhysScales.ones(self.num_envs)
+        shape = np.ones((self.num_envs, self.model.nb, 3), np.float32)
+        shape[:, self.object_body] = self.object_scales_np
+        return phys._replace(shape=jnp.asarray(shape))
+
     def _arm_poses(self):
         return [(ARM_POS, (0.0, 0.0, 0.0, 1.0))]
 
@@ -486,6 +556,9 @@ class AllegroKukaBase(VecTaskBase):
                                   curr_ft_dist[:, 0], task.furthest_hand_dist)
 
         kp_off = jnp.asarray(self.keypoint_offsets)
+        if self.randomize_object_dims:
+            # keypoints live on the object's (per-env scaled) surface
+            kp_off = kp_off[None] * self.object_scales[:, None, :]
         kp_obj = obj_pos[:, None, :] + maths.quat_apply(
             obj_rot[:, None, :], kp_off)
         kp_goal = task.goal_pose[:, None, 0:3] + maths.quat_apply(
@@ -570,7 +643,7 @@ class AllegroKukaBase(VecTaskBase):
             ft_rel_palm,
             kp_rel_palm,
             kp_rel_goal.reshape(n, -1),
-            jnp.ones((n, 3), jnp.float32),           # object scales (fixed)
+            jnp.broadcast_to(self.object_scales, (n, 3)),  # object scales
             closest_kp[:, None],
             closest_ft,
             lifted.astype(jnp.float32)[:, None],

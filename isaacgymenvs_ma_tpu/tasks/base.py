@@ -100,6 +100,8 @@ class VecTaskBase:
             self.randomizer = None
         model, ground = self.create_model()
         self.model = model
+        if self.randomizer is not None:
+            self.randomizer.bind_model(model)
         self.engine = self.build_engine(model, ground)
         self.rl_games_batch = self.num_envs * self.num_agents
 
@@ -130,10 +132,14 @@ class VecTaskBase:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
-    def initial_phys(self):
-        """Per-env physics-scale pytree fed to the engine (None = nominal)."""
+    def initial_phys(self, key=None):
+        """Per-env physics-scale pytree fed to the engine (None = nominal).
+        ``key`` seeds setup-only randomization (geometry scale specs — the
+        reference's setup_only actor params, domain_randomization.md)."""
         if self.randomizer is not None and self.randomizer.enabled:
             from ..utils.domain_rand import PhysScales
+            if key is not None:
+                return self.randomizer.initial_phys(key, self.model.nb)
             return PhysScales.ones(self.num_envs)
         return None
 
@@ -148,7 +154,7 @@ class VecTaskBase:
 
     def initial_state(self, key: jax.Array) -> EnvState:
         sim = self.engine.default_state(self.num_envs)
-        phys = self.initial_phys()
+        phys = self.initial_phys(jax.random.fold_in(key, 17))
         return EnvState(
             sim=sim,
             progress=jnp.zeros(self.num_envs, jnp.int32),

@@ -137,7 +137,19 @@ class IndustRealTaskPegsInsert(FactoryBase):
     nut_free = True
 
     def __init__(self, cfg):
-        self._samples = _plug_sample_points()
+        self._samples = self._sample_points()
+        # mesh-SDF path (default): bake the socket material and the
+        # plug-at-goal isosurface into voxel grids with the native voxelizer
+        # — the direct analog of the reference's Warp mesh queries (SAPU,
+        # industreal_algo_utils.py:49-157) and pysdf reward (:202-283).
+        # use_mesh_sdf=False falls back to the analytic primitive SDFs.
+        self.use_mesh_sdf = bool(cfg.get("env", {}).get("use_mesh_sdf", True))
+        if self.use_mesh_sdf:
+            from ..physics import sdf_grid
+            sv, stt = self._material_solid_mesh()
+            self._socket_grid = sdf_grid.from_mesh(sv, stt, resolution=56)
+            pv, ptt = self._goal_solid_mesh()
+            self._goal_grid = sdf_grid.from_mesh(pv, ptt, resolution=48)
         super().__init__(cfg)
         self.plug_body = self.nut_body   # FactoryBase resolves "nut"
         self.socket_actor = 3            # franka, table, plug, socket
@@ -215,17 +227,42 @@ class IndustRealTaskPegsInsert(FactoryBase):
         return pos[:, None, :] + maths.quat_apply(
             quat[:, None, :], jnp.asarray(self._samples))
 
+    def _sample_points(self):
+        return _plug_sample_points()
+
+    def _material_solid_mesh(self):
+        """Mesh of the solid the held part must not penetrate, in the
+        ``pts - socket_frame`` query frame."""
+        from ..models import meshes
+        sv, stt = meshes.box_with_hole_mesh(
+            SOCKET_HALF[:2], SOCKET_HALF[2], SOCKET_HOLE_R, n=64)
+        return sv + np.asarray([0.0, 0.0, SOCKET_HALF[2]], np.float32), stt
+
+    def _goal_solid_mesh(self):
+        """Mesh of the assembled plug (for the goal-isosurface grid)."""
+        from ..models import meshes
+        return meshes.cylinder_mesh(PLUG_RADIUS, PLUG_LENGTH / 2, n=48)
+
     def _sapu_interpen(self, pos, quat):
         pts = self._plug_points_world(pos, quat)          # (N, P, 3)
         rel = pts - self._socket_frame()
-        sdf = sdf_socket_material(rel)
+        if self.use_mesh_sdf:
+            from ..physics import sdf_grid
+            sdf = sdf_grid.sample(self._socket_grid, rel)
+        else:
+            sdf = sdf_socket_material(rel)
         return jnp.maximum(-sdf, 0.0).max(-1)             # max penetration
 
     def _sdf_reward(self, pos, quat):
         pts = self._plug_points_world(pos, quat)
         goal = self._goal_pos()
         rel = pts - goal
-        d = jnp.maximum(sdf_cylinder(rel, PLUG_RADIUS, PLUG_LENGTH / 2), 0.0)
+        if self.use_mesh_sdf:
+            from ..physics import sdf_grid
+            d = jnp.maximum(sdf_grid.sample(self._goal_grid, rel), 0.0)
+        else:
+            d = jnp.maximum(
+                sdf_cylinder(rel, PLUG_RADIUS, PLUG_LENGTH / 2), 0.0)
         return -jnp.log(jnp.maximum(jnp.mean(d, -1), 1e-6))
 
     # -- control: grab is always active --------------------------------
@@ -408,13 +445,37 @@ class IndustRealTaskGearsInsert(IndustRealTaskPegsInsert):
         return self._socket_frame() + jnp.asarray(
             [0.0, 0.0, 0.005 + GEAR_HEIGHT / 2])
 
+    def _sample_points(self):
+        """Gear-shaped surface samples (tube with the shaft bore)."""
+        from ..models import meshes
+        v, t = meshes.tube_mesh(GEAR_RADIUS, GEAR_HOLE_R, GEAR_HEIGHT / 2,
+                                n=32)
+        return meshes.surface_sample(v, t, 64, seed=11)
+
+    def _material_solid_mesh(self):
+        """The shaft the gear must not penetrate (query frame = socket)."""
+        from ..models import meshes
+        v, t = meshes.cylinder_mesh(SHAFT_RADIUS, SHAFT_HEIGHT / 2, n=48)
+        return v + np.asarray([0.0, 0.0, SHAFT_HEIGHT / 2], np.float32), t
+
+    def _goal_solid_mesh(self):
+        """Assembled gear: annular tube with the bore carved out."""
+        from ..models import meshes
+        return meshes.tube_mesh(GEAR_RADIUS, GEAR_HOLE_R, GEAR_HEIGHT / 2,
+                                n=48)
+
     def _sapu_interpen(self, pos, quat):
-        """Gear-bore interpenetration against the shaft cylinder."""
+        """Gear interpenetration against the shaft, excluding the bore rim
+        (points at the bore radius legitimately slide along the shaft)."""
         pts = self._plug_points_world(pos, quat)
-        rel = pts - (self._socket_frame()
-                     + jnp.asarray([0.0, 0.0, SHAFT_HEIGHT / 2]))
-        sdf = sdf_cylinder(rel, SHAFT_RADIUS, SHAFT_HEIGHT / 2)
-        # penetration of gear samples into the shaft, excluding the bore
+        rel = pts - self._socket_frame()
+        if self.use_mesh_sdf:
+            from ..physics import sdf_grid
+            sdf = sdf_grid.sample(self._socket_grid, rel)
+        else:
+            sdf = sdf_cylinder(
+                rel - jnp.asarray([0.0, 0.0, SHAFT_HEIGHT / 2]),
+                SHAFT_RADIUS, SHAFT_HEIGHT / 2)
         r_xy = jnp.linalg.norm(pts[..., 0:2]
                                - self._socket_frame()[0:2], axis=-1)
         pen = jnp.where(r_xy > GEAR_HOLE_R, jnp.maximum(-sdf, 0.0), 0.0)
@@ -423,7 +484,12 @@ class IndustRealTaskGearsInsert(IndustRealTaskPegsInsert):
     def _sdf_reward(self, pos, quat):
         pts = self._plug_points_world(pos, quat)
         rel = pts - self._goal_pos()
-        d = jnp.maximum(sdf_cylinder(rel, GEAR_RADIUS, GEAR_HEIGHT / 2), 0.0)
+        if self.use_mesh_sdf:
+            from ..physics import sdf_grid
+            d = jnp.maximum(sdf_grid.sample(self._goal_grid, rel), 0.0)
+        else:
+            d = jnp.maximum(
+                sdf_cylinder(rel, GEAR_RADIUS, GEAR_HEIGHT / 2), 0.0)
         return -jnp.log(jnp.maximum(jnp.mean(d, -1), 1e-6))
 
 

@@ -100,7 +100,35 @@ TASK_CFG = {
                   "contact_offset": 0.002, "rest_offset": 0.0,
                   "max_depenetration_velocity": 1000.0},
     },
-    "task": {"randomize": False, "randomization_params": {}},
+    # Reference Trifinger.yaml:85-160 ships randomize: True.  Supported
+    # subset: obs/action gaussian noise, per-env object scale (setup_only,
+    # via PhysScales.shape), object mass (setup_only, per-actor), contact
+    # friction.  Correlated-noise ranges and per-dof limit noise are not
+    # modeled (range_correlated for obs is 0 in the reference anyway).
+    "task": {
+        "randomize": True,
+        "randomization_params": {
+            "frequency": 750,
+            "observations": {"range": [0, 0.002], "operation": "additive",
+                             "distribution": "gaussian"},
+            "actions": {"range": [0, 0.02], "operation": "additive",
+                        "distribution": "gaussian"},
+            "actor_params": {
+                "object": {
+                    "scale": {"range": [0.97, 1.03], "operation": "scaling",
+                              "distribution": "uniform", "setup_only": True},
+                    "rigid_body_properties": {
+                        "mass": {"range": [0.7, 1.3], "operation": "scaling",
+                                 "distribution": "uniform",
+                                 "setup_only": True}},
+                    "rigid_shape_properties": {
+                        "friction": {"range": [0.7, 1.3],
+                                     "operation": "scaling",
+                                     "distribution": "uniform"}},
+                },
+            },
+        },
+    },
 }
 
 

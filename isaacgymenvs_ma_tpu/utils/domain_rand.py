@@ -31,6 +31,9 @@ class PhysScales(NamedTuple):
     damping: jax.Array     # (N, 1) or (N, nv) — passive + drive damping
     stiffness: jax.Array   # (N, 1) or (N, nv) — drive kp
     friction: jax.Array    # (N, 1) contact friction
+    # (N, nb, 3) anisotropic per-body geometry scale (object-dimension DR,
+    # reference allegro_kuka/generate_cuboids.py); None = nominal shapes
+    shape: Optional[jax.Array] = None
 
     @staticmethod
     def ones(n: int) -> "PhysScales":
@@ -83,15 +86,23 @@ class DomainRandomizer:
         self.frequency = int(self.params.get("frequency", 600))
         self.obs_spec = self.params.get("observations")
         self.act_spec = self.params.get("actions")
-        # flatten actor_params into (mass, damping, stiffness, friction) specs
-        self.mass_spec = None
+        # flatten actor_params into per-property specs.  mass and scale keep
+        # their actor attribution (applied per body range once bind_model
+        # resolves actors); dof/friction factors stay scene-global (N, 1).
+        self.mass_specs = []       # [(actor, spec)]
         self.damping_spec = None
         self.stiffness_spec = None
         self.friction_spec = None
+        # per-actor geometry scale specs (actor_params.<actor>.scale — e.g.
+        # Trifinger.yaml object scale [0.97, 1.03] setup_only); consumed as
+        # PhysScales.shape leaves once bind_model resolves actors to bodies
+        self.scale_specs = {}
+        self._actor_bodies = {}
+        self._nb = None
         for actor, props in (self.params.get("actor_params") or {}).items():
             rb = props.get("rigid_body_properties", {})
             if "mass" in rb:
-                self.mass_spec = rb["mass"]
+                self.mass_specs.append((actor, rb["mass"]))
             dp = props.get("dof_properties", {})
             if "damping" in dp:
                 self.damping_spec = dp["damping"]
@@ -100,6 +111,109 @@ class DomainRandomizer:
             rs = props.get("rigid_shape_properties", {})
             if "friction" in rs:
                 self.friction_spec = rs["friction"]
+            if "scale" in props:
+                self.scale_specs[actor] = props["scale"]
+
+    def bind_model(self, model):
+        """Resolve actor names in mass/scale specs to body-index ranges (an
+        actor's bodies are contiguous after compose_scene; matched by
+        root-body name, the analog of the reference's create_actor name).
+        Unresolved actors fall back to scene-global application."""
+        self._nb = int(model.nb)
+        names = ({a for a, _ in self.mass_specs} | set(self.scale_specs))
+        if not names:
+            return
+        roots = np.asarray(model.actor_root_body, np.int32)
+        ends = list(roots[1:]) + [model.nb]
+        for actor in names:
+            for r, e_ in zip(roots, ends):
+                if model.body_names[int(r)] == actor:
+                    self._actor_bodies[actor] = np.arange(r, e_,
+                                                          dtype=np.int32)
+                    break
+
+    # -- mass ------------------------------------------------------------
+    def _apply_mass_specs(self, key, mask, cur, setup_pass: bool, frames=1e9):
+        """Apply mass specs whose setup_only flag matches ``setup_pass``.
+        ``mask`` None = all envs (initial sampling).  Per-actor when bound,
+        scene-global otherwise."""
+        specs = [(a, s) for a, s in self.mass_specs
+                 if bool(s.get("setup_only", False)) == setup_pass]
+        if not specs:
+            return cur
+        n = self.num_envs
+        for actor, spec in specs:
+            key, k = jax.random.split(key)
+            s = _sample(k, spec, (n, 1), frames)
+            if spec.get("operation") == "additive":
+                s = 1.0 + s
+            bodies = self._actor_bodies.get(actor)
+            if bodies is None:
+                new = jnp.broadcast_to(s, cur.shape)
+                cur = new if mask is None else jnp.where(mask[:, None],
+                                                         new, cur)
+            else:
+                if cur.shape[-1] != self._nb:
+                    cur = jnp.broadcast_to(cur, (n, self._nb))
+                new = jnp.broadcast_to(s, (n, len(bodies)))
+                old = cur[:, bodies]
+                cur = cur.at[:, bodies].set(
+                    new if mask is None else jnp.where(mask[:, None],
+                                                       new, old))
+        return cur
+
+    def initial_phys(self, key, nb: int) -> PhysScales:
+        """:class:`PhysScales` at t=0: setup_only specs (sampled once before
+        simulation — reference domain_randomization.md 'Property will only be
+        randomized once') drawn here; everything else nominal."""
+        phys = PhysScales.ones(self.num_envs)
+        k1, k2 = jax.random.split(key)
+        phys = phys._replace(
+            mass=self._apply_mass_specs(k1, None, phys.mass, True))
+        shape = self.initial_shape(k2, nb)
+        if shape is not None:
+            phys = phys._replace(shape=shape)
+        return phys
+
+    def _sample_scale(self, key, spec):
+        s = _sample(key, spec, (self.num_envs, 1, 1), 1e9)
+        if spec.get("operation") == "additive":
+            s = 1.0 + s
+        return s
+
+    def _scale_bound(self):
+        return {a: b for a, b in self._actor_bodies.items()
+                if a in self.scale_specs}
+
+    def initial_shape(self, key, nb: int) -> Optional[jax.Array]:
+        """(N, nb, 3) per-body geometry scales, or None when no scale specs
+        bind.  Covers setup_only specs (sampled once, before simulation)."""
+        bound = self._scale_bound()
+        if not bound:
+            return None
+        shape = jnp.ones((self.num_envs, nb, 3), jnp.float32)
+        for actor, bodies in bound.items():
+            key, k = jax.random.split(key)
+            s = self._sample_scale(k, self.scale_specs[actor])
+            shape = shape.at[:, bodies, :].set(
+                jnp.broadcast_to(s, (self.num_envs, len(bodies), 3)))
+        return shape
+
+    def resample_shape(self, key, mask, shape):
+        """Masked at-reset resample of non-setup_only scale specs."""
+        bound = self._scale_bound()
+        if shape is None or not bound:
+            return shape
+        for actor, bodies in bound.items():
+            spec = self.scale_specs[actor]
+            if spec.get("setup_only", False):
+                continue
+            key, k = jax.random.split(key)
+            new = jnp.broadcast_to(self._sample_scale(k, spec),
+                                   (self.num_envs, len(bodies), 3))
+            shape = shape.at[:, bodies, :].set(
+                jnp.where(mask[:, None, None], new, shape[:, bodies, :]))
+        return shape
 
     @property
     def enabled(self) -> bool:
@@ -126,7 +240,7 @@ class DomainRandomizer:
     def resample_phys(self, key, mask, phys: PhysScales, frames=1e9) -> PhysScales:
         """Masked per-env resample (DR happens at reset — tasks/ant.py:252-255)."""
         n = self.num_envs
-        ks = jax.random.split(key, 4)
+        ks = jax.random.split(key, 5)
         m = mask[:, None]
 
         def upd(spec, k, cur):
@@ -138,8 +252,12 @@ class DomainRandomizer:
             return jnp.where(m, new, cur)
 
         return PhysScales(
-            mass=upd(self.mass_spec, ks[0], phys.mass),
+            mass=self._apply_mass_specs(ks[0], mask, phys.mass, False,
+                                        frames),
             damping=upd(self.damping_spec, ks[1], phys.damping),
             stiffness=upd(self.stiffness_spec, ks[2], phys.stiffness),
             friction=upd(self.friction_spec, ks[3], phys.friction),
+            # setup_only scale specs (and task-owned object-dimension DR)
+            # stay fixed; non-setup_only scale specs resample at reset
+            shape=self.resample_shape(ks[4], mask, phys.shape),
         )
