@@ -94,8 +94,13 @@ class VecTaskBase:
         task_sec = cfg.get("task", {}) or {}
         if task_sec.get("randomize"):
             from ..utils.domain_rand import DomainRandomizer
+            # correlated-noise bases are per-env rows; the agent-folded MA
+            # batch (N*K rows) isn't supported (no reference MA task uses DR)
+            single = self.num_agents == 1
             self.randomizer = DomainRandomizer(
-                task_sec.get("randomization_params", {}), self.num_envs)
+                task_sec.get("randomization_params", {}), self.num_envs,
+                num_obs=self.num_obs if single else None,
+                num_actions=self.num_actions if single else None)
         else:
             self.randomizer = None
         model, ground = self.create_model()
@@ -173,7 +178,9 @@ class VecTaskBase:
         key, k_reset, k_step, k_anoise, k_onoise, k_phys = jax.random.split(state.rng, 6)
         if self.randomizer is not None:
             # DR action noise before clipping (vec_task.py:373-376)
-            actions = self.randomizer.randomize_actions(k_anoise, actions)
+            actions = self.randomizer.randomize_actions(
+                k_anoise, actions,
+                corr=getattr(state.phys, "act_corr", None))
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
 
         reset_mask = state.reset_buf > 0
@@ -229,7 +236,8 @@ class VecTaskBase:
 
         if self.randomizer is not None:
             # DR obs noise before clipping (vec_task.py:404-406)
-            obs = self.randomizer.randomize_observations(k_onoise, obs)
+            obs = self.randomizer.randomize_observations(
+                k_onoise, obs, corr=getattr(state.phys, "obs_corr", None))
         obs = jnp.nan_to_num(jnp.clip(obs, -self.clip_obs, self.clip_obs))
         if states is not None:
             states = jnp.nan_to_num(

@@ -100,18 +100,22 @@ TASK_CFG = {
                   "contact_offset": 0.002, "rest_offset": 0.0,
                   "max_depenetration_velocity": 1000.0},
     },
-    # Reference Trifinger.yaml:85-160 ships randomize: True.  Supported
-    # subset: obs/action gaussian noise, per-env object scale (setup_only,
-    # via PhysScales.shape), object mass (setup_only, per-actor), contact
-    # friction.  Correlated-noise ranges and per-dof limit noise are not
-    # modeled (range_correlated for obs is 0 in the reference anyway).
+    # Reference Trifinger.yaml:85-160 ships randomize: True.  Supported:
+    # obs/action gaussian noise (incl. correlated action noise), per-env
+    # object scale (setup_only, via PhysScales.shape), object mass
+    # (setup_only, per-actor), contact friction.  Per-dof limit noise is
+    # not modeled (robot dof_properties lower/upper).
     "task": {
         "randomize": True,
         "randomization_params": {
             "frequency": 750,
-            "observations": {"range": [0, 0.002], "operation": "additive",
+            "observations": {"range": [0, 0.002],
+                             "range_correlated": [0, 0.000],
+                             "operation": "additive",
                              "distribution": "gaussian"},
-            "actions": {"range": [0, 0.02], "operation": "additive",
+            "actions": {"range": [0, 0.02],
+                        "range_correlated": [0, 0.01],
+                        "operation": "additive",
                         "distribution": "gaussian"},
             "actor_params": {
                 "object": {

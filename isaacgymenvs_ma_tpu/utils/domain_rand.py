@@ -34,6 +34,10 @@ class PhysScales(NamedTuple):
     # (N, nb, 3) anisotropic per-body geometry scale (object-dimension DR,
     # reference allegro_kuka/generate_cuboids.py); None = nominal shapes
     shape: Optional[jax.Array] = None
+    # correlated-noise bases (standard normal), cached between randomization
+    # events like the reference's params['corr'] (vec_task.py:686-692)
+    obs_corr: Optional[jax.Array] = None   # (N, num_obs)
+    act_corr: Optional[jax.Array] = None   # (N, num_actions)
 
     @staticmethod
     def ones(n: int) -> "PhysScales":
@@ -77,15 +81,52 @@ def _sample(key, spec: dict, shape, frames):
     return samples * sf + 1.0 * (1.0 - sf)
 
 
+def _corr_term(spec: dict, base, frames):
+    """Correlated-noise contribution from a cached standard-normal base
+    (reference vec_task.py:686-692, 710-717: corr*var_corr + mu_corr, with
+    the same schedule scaling as the white part; the reference uses a
+    normal base for the uniform distribution too)."""
+    lo_c, hi_c = spec.get("range_correlated", [0.0, 0.0])
+    op = spec.get("operation", "additive")
+    dist = spec.get("distribution", "uniform")
+    sf = _schedule_factor(spec, frames)
+    if dist == "gaussian":
+        mu_c, var_c = lo_c, hi_c
+        if op == "additive":
+            mu_c, var_c = mu_c * sf, var_c * sf
+        else:
+            var_c = var_c * sf
+            mu_c = mu_c * sf + 1.0 * (1.0 - sf)
+        return base * var_c + mu_c
+    if op == "additive":
+        lo_c, hi_c = lo_c * sf, hi_c * sf
+    else:
+        lo_c = lo_c * sf + 1.0 * (1.0 - sf)
+        hi_c = hi_c * sf + 1.0 * (1.0 - sf)
+    return base * (hi_c - lo_c) + lo_c
+
+
+def _has_corr(spec) -> bool:
+    return bool(spec) and any(spec.get("range_correlated", [0.0, 0.0]))
+
+
 class DomainRandomizer:
     """Holds the parsed spec; all apply/resample methods are pure."""
 
-    def __init__(self, params: dict, num_envs: int):
+    def __init__(self, params: dict, num_envs: int,
+                 num_obs: Optional[int] = None,
+                 num_actions: Optional[int] = None):
         self.params = params or {}
         self.num_envs = num_envs
         self.frequency = int(self.params.get("frequency", 600))
         self.obs_spec = self.params.get("observations")
         self.act_spec = self.params.get("actions")
+        # correlated noise needs per-env cached bases of known width
+        self._num_obs = num_obs
+        self._num_actions = num_actions
+        self.obs_corr_on = _has_corr(self.obs_spec) and num_obs is not None
+        self.act_corr_on = (_has_corr(self.act_spec)
+                            and num_actions is not None)
         # flatten actor_params into per-property specs.  mass and scale keep
         # their actor attribution (applied per body range once bind_model
         # resolves actors); dof/friction factors stay scene-global (N, 1).
@@ -167,12 +208,18 @@ class DomainRandomizer:
         simulation — reference domain_randomization.md 'Property will only be
         randomized once') drawn here; everything else nominal."""
         phys = PhysScales.ones(self.num_envs)
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         phys = phys._replace(
             mass=self._apply_mass_specs(k1, None, phys.mass, True))
         shape = self.initial_shape(k2, nb)
         if shape is not None:
             phys = phys._replace(shape=shape)
+        if self.obs_corr_on:
+            phys = phys._replace(obs_corr=jax.random.normal(
+                k3, (self.num_envs, self._num_obs)))
+        if self.act_corr_on:
+            phys = phys._replace(act_corr=jax.random.normal(
+                k4, (self.num_envs, self._num_actions)))
         return phys
 
     def _sample_scale(self, key, spec):
@@ -220,18 +267,22 @@ class DomainRandomizer:
         return bool(self.params)
 
     # -- noise -----------------------------------------------------------
-    def randomize_actions(self, key, actions, frames=1e9):
+    def randomize_actions(self, key, actions, frames=1e9, corr=None):
         if not self.act_spec:
             return actions
         noise = _sample(key, self.act_spec, actions.shape, frames)
+        if corr is not None:
+            noise = noise + _corr_term(self.act_spec, corr, frames)
         if self.act_spec.get("operation", "additive") == "additive":
             return actions + noise
         return actions * noise
 
-    def randomize_observations(self, key, obs, frames=1e9):
+    def randomize_observations(self, key, obs, frames=1e9, corr=None):
         if not self.obs_spec:
             return obs
         noise = _sample(key, self.obs_spec, obs.shape, frames)
+        if corr is not None:
+            noise = noise + _corr_term(self.obs_spec, corr, frames)
         if self.obs_spec.get("operation", "additive") == "additive":
             return obs + noise
         return obs * noise
@@ -240,7 +291,7 @@ class DomainRandomizer:
     def resample_phys(self, key, mask, phys: PhysScales, frames=1e9) -> PhysScales:
         """Masked per-env resample (DR happens at reset — tasks/ant.py:252-255)."""
         n = self.num_envs
-        ks = jax.random.split(key, 5)
+        ks = jax.random.split(key, 7)
         m = mask[:, None]
 
         def upd(spec, k, cur):
@@ -260,4 +311,12 @@ class DomainRandomizer:
             # setup_only scale specs (and task-owned object-dimension DR)
             # stay fixed; non-setup_only scale specs resample at reset
             shape=self.resample_shape(ks[4], mask, phys.shape),
+            # correlated-noise bases refresh at randomization events
+            # (reference rebuilds noise_lambda params, dropping the cache)
+            obs_corr=None if phys.obs_corr is None else jnp.where(
+                m, jax.random.normal(ks[5], phys.obs_corr.shape),
+                phys.obs_corr),
+            act_corr=None if phys.act_corr is None else jnp.where(
+                m, jax.random.normal(ks[6], phys.act_corr.shape),
+                phys.act_corr),
         )
