@@ -118,6 +118,22 @@ def launch(argv=None):
     if cfg.get("checkpoint"):
         state, env_extra, meta = ckpt.load_checkpoint(cfg["checkpoint"], state)
         print(f"restored checkpoint {cfg['checkpoint']} (meta {meta})")
+        if cfg.get("sigma") not in ("", None):
+            # fixed exploration sigma at restore (reference train.py:212-216
+            # runner.run({'sigma': ...}))
+            import numpy as np
+            import jax.numpy as jnp
+            from jax import tree_util as jtu
+            sig = np.log(float(cfg["sigma"]))
+
+            def _set(path, leaf):
+                if any(getattr(p, "key", None) == "log_sigma"
+                       for p in path):
+                    return jnp.full_like(leaf, sig)
+                return leaf
+            state = state._replace(
+                params=jtu.tree_map_with_path(_set, state.params))
+            print(f"sigma overridden to {float(cfg['sigma'])}")
 
     if pbt_observer is not None:
         from .pbt import PbtAlgoObserver
@@ -137,7 +153,16 @@ def launch(argv=None):
         _pbt_state_ref = None
 
     if cfg.get("test"):
-        return _play(task, agent, state, cfg)
+        return _play(task, agent, state, cfg, run_dir=run_dir)
+
+    # periodic policy videos (reference capture_video / RecordVideo wrapper,
+    # train.py:138-145).  The training rollout is one XLA program, so frames
+    # are captured on short side rollouts every capture_video_freq per-env
+    # steps rather than inside the hot loop.
+    video = None
+    if cfg.get("capture_video") and jax.process_index() == 0:
+        video = (int(cfg.get("capture_video_freq", 1464)),
+                 int(cfg.get("capture_video_len", 100)), [0])
 
     pcfg = agent.cfg
     save_freq = pcfg.save_frequency
@@ -146,6 +171,14 @@ def launch(argv=None):
     t0 = time.time()
     for ep in range(1, max_epochs + 1):
         state, metrics = agent.train_epoch(state)
+        if video is not None:
+            freq, vlen, last = video
+            env_steps = int(metrics["frames"]) // max(task.num_envs, 1)
+            if env_steps // freq > last[0]:
+                last[0] = env_steps // freq
+                p = _capture_rollout(task, agent, state, vlen, os.path.join(
+                    run_dir, "videos", f"step_{env_steps}.mp4"))
+                print(f"captured video {p}")
         if _pbt_state_ref is not None:
             _pbt_state_ref.cur = state
             m_host = {k: float(v) for k, v in metrics.items()}
@@ -172,13 +205,38 @@ def launch(argv=None):
     return state
 
 
-def _play(task, agent, state, cfg, num_steps: int = 2000):
+def _capture_rollout(task, agent, state, n_steps, out_path):
+    """Deterministic side rollout of env 0 -> mp4/PNG frames."""
+    from .utils.viewer import FrameRecorder
+    rec = FrameRecorder(task)
+    env_state = state.env_state
+    obs = state.last_obs
+
+    @jax.jit
+    def step(env_state, obs):
+        actions = agent.act(state, obs, deterministic=True)
+        env_state, res = task.step(env_state, actions)
+        return env_state, res.obs
+
+    for _ in range(n_steps):
+        rec.capture(env_state)
+        env_state, obs = step(env_state, obs)
+    return rec.save_video(out_path)
+
+
+def _play(task, agent, state, cfg, num_steps: int = 2000, run_dir="runs"):
     """Inference loop (rl_games player path — reference train.py:212-217 with
     {'play': True}; learning/common_player.py:54-152)."""
     import jax.numpy as jnp
 
     env_state = state.env_state
     obs = state.last_obs
+
+    rec = None
+    if cfg.get("capture_video"):
+        from .utils.viewer import FrameRecorder
+        rec = FrameRecorder(task)
+        vlen = int(cfg.get("capture_video_len", 100))
 
     @jax.jit
     def step(env_state, obs):
@@ -189,12 +247,17 @@ def _play(task, agent, state, cfg, num_steps: int = 2000):
     total_rew = 0.0
     games = 0
     for i in range(num_steps):
+        if rec is not None and i < vlen:
+            rec.capture(env_state)
         env_state, obs, rew, reset = step(env_state, obs)
         total_rew += float(rew.mean())
         games += int(jnp.sum(reset))
         if (i + 1) % 200 == 0:
             print(f"step {i+1}: mean step reward {total_rew/(i+1):.3f}, "
                   f"episodes finished {games}")
+    if rec is not None:
+        p = rec.save_video(os.path.join(run_dir, "videos", "play.mp4"))
+        print(f"captured video {p}")
     return state
 
 

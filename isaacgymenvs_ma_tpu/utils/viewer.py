@@ -196,3 +196,25 @@ class FrameRecorder:
             write_png(p, f)
             paths.append(p)
         return paths
+
+    def save_video(self, path: str, fps: int = 30):
+        """mp4 via imageio when available (the RecordVideo analog,
+        reference train.py:138-145); falls back to a PNG sequence next to
+        ``path``.  Returns the artifact path."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        try:
+            import imageio.v2 as iio
+            iio.mimwrite(path, self.frames, fps=fps)
+            return path
+        except Exception:
+            pass
+        try:  # gif needs only the Pillow plugin
+            import imageio.v2 as iio
+            gif = os.path.splitext(path)[0] + ".gif"
+            iio.mimwrite(gif, self.frames, duration=1000.0 / fps, loop=0)
+            return gif
+        except Exception:
+            return self.save(os.path.splitext(path)[0])
+
+    def clear(self):
+        self.frames = []
