@@ -65,3 +65,30 @@ def test_pbt_replacement(tmp_path):
     obs3, restarts3 = observers[3]
     obs3.after_steps(2, 400, {"true_objective": 7.0})
     assert not restarts3
+
+
+def test_launcher_param_grid_and_population():
+    """Launcher surface (reference pbt/launcher/run_description.py,
+    run_processes.py): grid generation and PBT population commands."""
+    from isaacgymenvs_ma_tpu.pbt.launcher import (
+        ParamGrid, ParamList, Experiment, RunDescription, pbt_population)
+
+    grid = ParamGrid([("lr", [1e-4, 3e-4]), ("gamma", [0.99, 0.995])])
+    combos = list(grid.generate_params())
+    assert len(combos) == 4 and combos[0] == {"lr": 1e-4, "gamma": 0.99}
+
+    e = Experiment("sweep", "python train.py task=Ant", grid)
+    cmds = list(e.generate_experiments())
+    assert len(cmds) == 4
+    assert cmds[1][0].endswith("lr=0.0001 gamma=0.995")
+
+    rd = pbt_population("Ant", 3, "/tmp/ws", ["num_envs=64"])
+    cmds = list(rd.generate_experiments())
+    assert len(cmds) == 3
+    assert "pbt.policy_idx=2" in cmds[2][0]
+    assert "pbt.num_policies=3" in cmds[0][0]
+    assert "num_envs=64" in cmds[0][0]
+
+    # ParamList passthrough
+    pl = ParamList([{"a": 1}, {"a": 2}])
+    assert [p["a"] for p in pl.generate_params()] == [1, 2]
