@@ -47,6 +47,17 @@ def launch(argv=None):
     global_ov, task_ov, train_ov = _split_overrides(argv)
     cfg = apply_overrides(dict(GLOBAL_DEFAULTS), global_ov)
 
+    # multi-host: the torchrun/DDP analog (reference README:165-172,
+    # rlgames_utils.py:89-107).  Coordinator/rank discovery comes from the
+    # cluster env (JAX_COORDINATOR_ADDRESS etc.); single-process runs skip.
+    if cfg.get("multi_gpu"):
+        try:
+            jax.distributed.initialize()
+            print(f"jax.distributed: process {jax.process_index()}/"
+                  f"{jax.process_count()}")
+        except Exception as e:  # single-host fallback keeps working
+            print(f"jax.distributed.initialize skipped: {e}")
+
     task_name = cfg.get("task", cfg.get("task_name", "Cartpole"))
     if isinstance(task_name, dict):
         task_name = task_name.get("name", "Cartpole")
