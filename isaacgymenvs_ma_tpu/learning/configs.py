@@ -246,11 +246,17 @@ _TRAIN["AntSAC"] = {
             "init_alpha": 1.0, "alpha_lr": 0.005, "actor_lr": 0.0005,
             "critic_lr": 0.0005, "learnable_temperature": True,
             "num_seed_steps": 5, "num_steps_per_episode": 8,
-            "replay_buffer_size": 1000000, "max_epochs": 10000,
+            "replay_buffer_size": 1000000, "max_epochs": 20000,
             "save_frequency": 1000,
         },
     }
 }
+
+
+# cfg/train/HumanoidSAC.yaml: AntSAC schema, longer run
+_TRAIN["HumanoidSAC"] = copy.deepcopy(_TRAIN["AntSAC"])
+_TRAIN["HumanoidSAC"]["params"]["config"].update(
+    name="HumanoidSAC", max_epochs=50000)
 
 
 # cfg/train/FactoryTaskNutBolt*PPO.yaml: small MLP, long horizons, low LR
@@ -275,6 +281,95 @@ for _iname in ("IndustRealTaskPegsInsert", "IndustRealTaskGearsInsert"):
         learning_rate=1e-3, lr_schedule="fixed",
     )
 
+# cfg/train/FactoryTask{Gears,Insertion}PPO.yaml (scene playgrounds; same
+# schema as the nut-bolt configs, horizon 32)
+for _fname in ("FactoryTaskGears", "FactoryTaskInsertion"):
+    _TRAIN[_fname] = _cfg(
+        _fname, units=[256, 128, 64], reward_shaper={"scale_value": 1.0},
+        value_bootstrap=True, mixed_precision=True, max_epochs=8192,
+        horizon_length=32, minibatch_size=512, mini_epochs=8,
+        learning_rate=1e-4, lr_schedule="fixed", kl_threshold=0.016,
+    )
+
+# cfg/train/ShadowHandPPOAsymm.yaml: asymmetric central-value critic
+_TRAIN["ShadowHandPPOAsymm"] = _cfg(
+    "ShadowHandAsymm", units=[400, 400, 200, 100],
+    reward_shaper={"scale_value": 0.01}, learning_rate=5e-4,
+    schedule_type="standard", kl_threshold=0.016, score_to_win=100000,
+    max_epochs=10000, save_best_after=500, save_frequency=200,
+    horizon_length=8, minibatch_size=16384, mini_epochs=8, critic_coef=4,
+    central_value_config={
+        "minibatch_size": 16384, "mini_epochs": 8, "learning_rate": 5e-4,
+        "kl_threshold": 0.016, "clip_value": True, "normalize_input": True,
+        "network": {"mlp": {"units": [512, 512, 256, 128]}},
+    },
+)
+
+# cfg/train/ShadowHandPPOAsymmLSTM.yaml: LSTM policy (mlp [512] relu + lstm
+# 1024) over the asymmetric critic, gamma 0.998
+_TRAIN["ShadowHandPPOAsymmLSTM"] = copy.deepcopy(_TRAIN["ShadowHandPPOAsymm"])
+_TRAIN["ShadowHandPPOAsymmLSTM"]["params"]["network"]["mlp"] = {
+    "units": [512], "activation": "relu", "initializer": {"name": "default"}}
+_TRAIN["ShadowHandPPOAsymmLSTM"]["params"]["network"]["rnn"] = {
+    "name": "lstm", "units": 1024, "layers": 1,
+    "before_mlp": True, "layer_norm": True}
+_TRAIN["ShadowHandPPOAsymmLSTM"]["params"]["config"].update(
+    name="ShadowHandAsymmLSTM", gamma=0.998, learning_rate=1e-4,
+    save_frequency=500, horizon_length=16, mini_epochs=4, seq_len=4)
+
+# cfg/train/ShadowHandPPOLSTM.yaml: symmetric LSTM variant
+_TRAIN["ShadowHandPPOLSTM"] = copy.deepcopy(_TRAIN["ShadowHand"])
+_TRAIN["ShadowHandPPOLSTM"]["params"]["network"]["rnn"] = {
+    "name": "lstm", "units": 256, "layers": 1,
+    "before_mlp": False, "concat_input": True, "layer_norm": True}
+_TRAIN["ShadowHandPPOLSTM"]["params"]["config"]["seq_len"] = 4
+
+# cfg/train/ShadowHandOpenAI{,_FF,_LSTM}PPO.yaml are pure Hydra
+# defaults-inheritance of the asymmetric configs; the task-config variants
+# (task=ShadowHandOpenAI_FF etc.) resolve to these train configs.
+_TRAIN["ShadowHandOpenAI"] = copy.deepcopy(_TRAIN["ShadowHandPPOAsymm"])
+_TRAIN["ShadowHandOpenAI_FF"] = copy.deepcopy(_TRAIN["ShadowHandPPOAsymm"])
+_TRAIN["ShadowHandOpenAI_LSTM"] = copy.deepcopy(
+    _TRAIN["ShadowHandPPOAsymmLSTM"])
+_TRAIN["ShadowHandTest"] = copy.deepcopy(_TRAIN["ShadowHandPPOAsymm"])
+
+# cfg/train/AllegroHandLSTMPPO.yaml: mlp [256] + lstm 512 policy, asymmetric
+# central value, gamma 0.998, seq_len 16
+_TRAIN["AllegroHandLSTM"] = _cfg(
+    "AllegroHandAsymmLSTM", units=[256],
+    reward_shaper={"scale_value": 1.0}, gamma=0.998, learning_rate=1e-4,
+    schedule_type="standard", kl_threshold=0.016, score_to_win=100000,
+    max_epochs=50000, save_best_after=200, save_frequency=500,
+    horizon_length=16, minibatch_size=16384, mini_epochs=4, critic_coef=4,
+    seq_len=16,
+    central_value_config={
+        "minibatch_size": 16384, "mini_epochs": 4, "learning_rate": 1e-4,
+        "kl_threshold": 0.016, "clip_value": True, "normalize_input": True,
+        "network": {"mlp": {"units": [512, 256, 128]}},
+    },
+)
+_TRAIN["AllegroHandLSTM"]["params"]["network"]["rnn"] = {
+    "name": "lstm", "units": 512, "layers": 1,
+    "before_mlp": True, "layer_norm": True}
+# cfg/train/AllegroHandLSTM_BigPPO.yaml: lstm 1024 variant
+_TRAIN["AllegroHandLSTM_Big"] = copy.deepcopy(_TRAIN["AllegroHandLSTM"])
+_TRAIN["AllegroHandLSTM_Big"]["params"]["network"]["rnn"]["units"] = 1024
+# task=AllegroHandFF has no dedicated train yaml; uses the base PPO config
+_TRAIN["AllegroHandFF"] = copy.deepcopy(_TRAIN["AllegroHand"])
+
+# cfg/train/AnymalTerrainPPO_LSTM.yaml: terrain PPO + lstm 256 (no layer norm)
+_TRAIN["AnymalTerrainPPO_LSTM"] = copy.deepcopy(_TRAIN["AnymalTerrain"])
+_TRAIN["AnymalTerrainPPO_LSTM"]["params"]["network"]["rnn"] = {
+    "name": "lstm", "units": 256, "layers": 1,
+    "before_mlp": False, "concat_input": True, "layer_norm": False}
+
+# cfg/train/HumanoidAMPPPOLowGP.yaml: low discriminator gradient penalty for
+# dynamic motions (hop/backflip — cfg/task/HumanoidAMP.yaml comments)
+_TRAIN["HumanoidAMPPPOLowGP"] = copy.deepcopy(_TRAIN["HumanoidAMP"])
+_TRAIN["HumanoidAMPPPOLowGP"]["params"]["config"]["disc_grad_penalty"] = 0.2
+# task=HumanoidAMPHands trains with the standard AMP config
+_TRAIN["HumanoidAMPHands"] = copy.deepcopy(_TRAIN["HumanoidAMP"])
+
 # LSTM variants (cfg/train/*PPOLSTM.yaml): same config + rnn block
 for _name in ("AllegroKuka", "AllegroKukaTwoArms"):
     _lstm = copy.deepcopy(_TRAIN[_name])
@@ -287,6 +382,11 @@ for _name in ("AllegroKuka", "AllegroKukaTwoArms"):
 
 def train_default_config(task_name: str) -> dict:
     if task_name not in _TRAIN:
+        # accept the reference's yaml-file names too (train=AntPPO,
+        # train=ShadowHandOpenAI_FFPPO, train=AllegroKukaLSTMPPO ...)
+        stripped = task_name[:-3] if task_name.endswith("PPO") else None
+        if stripped and stripped in _TRAIN:
+            return copy.deepcopy(_TRAIN[stripped])
         # sensible default for unlisted tasks
         return copy.deepcopy(_base(task_name))
     return copy.deepcopy(_TRAIN[task_name])

@@ -299,27 +299,31 @@ class ShadowHand(VecTaskBase):
         ft_vel = out.body_vel[:, self.fingertip_bodies]
         ft_state = jnp.concatenate([ft_pos, ft_rot, ft_vel], -1)  # (N,5,13)
 
-        pieces = [maths.unscale(dof_pos, self.dof_lower, self.dof_upper)]
-        if self.obs_type != "full_no_vel":
-            pieces.append(self.vel_obs_scale * dof_vel)
-        if self.obs_type == "full_state":
-            pieces.append(self.force_torque_obs_scale
-                          * out.dof_force[:, self.hand_dofs])
-        pieces += [obj_pos, obj_rot]
-        if self.obs_type != "full_no_vel":
-            pieces += [obj_linvel, self.vel_obs_scale * obj_angvel]
-        pieces += [jnp.broadcast_to(goal_pos, (n, 3)), goal_rot, quat_diff]
-        pieces.append(ft_state.reshape(n, -1))
-        if self.obs_type == "full_state":
-            pieces.append(self.force_torque_obs_scale
-                          * out.sensor_forces.reshape(n, -1))
-        pieces.append(actions)
-        obs = jnp.concatenate(pieces, -1)
-        # pad/trim to the declared obs dim (obs-type layouts differ slightly)
-        if obs.shape[-1] < self.num_obs:
-            obs = jnp.pad(obs, ((0, 0), (0, self.num_obs - obs.shape[-1])))
-        elif obs.shape[-1] > self.num_obs:
-            obs = obs[:, : self.num_obs]
+        def assemble(obs_type, dim):
+            pieces = [maths.unscale(dof_pos, self.dof_lower, self.dof_upper)]
+            if obs_type != "full_no_vel":
+                pieces.append(self.vel_obs_scale * dof_vel)
+            if obs_type == "full_state":
+                pieces.append(self.force_torque_obs_scale
+                              * out.dof_force[:, self.hand_dofs])
+            pieces += [obj_pos, obj_rot]
+            if obs_type != "full_no_vel":
+                pieces += [obj_linvel, self.vel_obs_scale * obj_angvel]
+            pieces += [jnp.broadcast_to(goal_pos, (n, 3)), goal_rot, quat_diff]
+            pieces.append(ft_state.reshape(n, -1))
+            if obs_type == "full_state":
+                pieces.append(self.force_torque_obs_scale
+                              * out.sensor_forces.reshape(n, -1))
+            pieces.append(actions)
+            x = jnp.concatenate(pieces, -1)
+            # pad/trim to the declared dim (obs-type layouts differ slightly)
+            if x.shape[-1] < dim:
+                x = jnp.pad(x, ((0, 0), (0, dim - x.shape[-1])))
+            elif x.shape[-1] > dim:
+                x = x[:, :dim]
+            return x
+
+        obs = assemble(self.obs_type, self.num_obs)
 
         # reward kernel (ref :747+)
         action_penalty = jnp.sum(jnp.square(actions), -1)
@@ -347,7 +351,11 @@ class ShadowHand(VecTaskBase):
             / jnp.maximum(done_count, 1),
             task.consecutive)
 
-        states = obs if self.num_states > 0 else None
+        # asymmetric actor-critic: privileged state is always the full_state
+        # layout (211) regardless of the policy obs type (ref shadow_hand.py
+        # :125-132 — numStates=211 when asymmetric_observations)
+        states = (assemble("full_state", self.num_states)
+                  if self.num_states > 0 else None)
         task = HandTaskState(goal_rot=goal_rot, successes=successes,
                              consecutive=cons, prev_targets=self._new_targets)
         extras = {"consecutive_successes": cons, "true_objective": cons}

@@ -64,7 +64,13 @@ def launch(argv=None):
     if cfg.get("num_envs"):
         task_ov = [f"env.numEnvs={cfg['num_envs']}"] + task_ov
     task_cfg = load_task_config(task_name, task_ov)
-    train_cfg = load_train_config(task_name, train_ov)
+    # train=<Name> selects a named train config (the reference's
+    # ``train: ${task}PPO`` Hydra default with CLI override, e.g.
+    # train=ShadowHandPPOLSTM or train=AnymalTerrainPPO_LSTM)
+    train_name = cfg.get("train")
+    if not isinstance(train_name, str) or not train_name:
+        train_name = task_name
+    train_cfg = load_train_config(train_name, train_ov)
     if cfg.get("max_iterations"):
         train_cfg["params"]["config"]["max_epochs"] = int(cfg["max_iterations"])
 
