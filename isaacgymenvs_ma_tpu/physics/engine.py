@@ -127,16 +127,74 @@ def _cross(a, b):
     return jnp.cross(a, b)
 
 
-def spd_inverse(H: jax.Array) -> jax.Array:
-    """Batched SPD matrix inverse via recursive 2x2-block Schur complement.
+def _sweep_inverse_batchlast(M: jax.Array) -> jax.Array:
+    """In-place Gauss-Jordan (sweep-operator) inverse on a batch-last matrix
+    stack ``M (n, n, B)``.
 
+    Every op is an elementwise mul/sub/select over the B lane dimension — no
+    matmuls, no scatters — so it lowers cleanly both in XLA and inside a
+    Pallas TPU kernel (VPU-only, one HBM round trip).  No pivoting: mass
+    matrices are SPD, so diagonal pivots never vanish."""
+    n = M.shape[0]
+    i_n1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    i_1n1 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    i_n11 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    for k in range(n):
+        mk = i_n1 == k
+        inv_d = 1.0 / M[k, k]
+        row = M[k] * inv_d                              # (n, B)
+        col = jnp.where(mk, 0.0, M[:, k])               # (n, B), row k zeroed
+        M = M - col[:, None, :] * row[None, :, :]
+        new_col = jnp.where(mk, inv_d, -col * inv_d)
+        new_row = jnp.where(mk, inv_d, row)
+        M = jnp.where(i_1n1 == k, new_col[:, None, :], M)
+        M = jnp.where(i_n11 == k, new_row[None, :, :], M)
+    return M
+
+
+def _sweep_kernel(h_ref, o_ref):
+    o_ref[...] = _sweep_inverse_batchlast(h_ref[...])
+
+
+def _spd_inverse_pallas(H: jax.Array) -> jax.Array:
+    """Fused batch-lane SPD inverse for TPU: transpose to (n, n, N) so envs
+    ride the 128-lane dimension, run the sweep in one Pallas kernel.  ~31x
+    faster than the Schur-block formulation at (4096, 14, 14) (41 us vs
+    1289 us on v5e — one HBM round trip at copy speed)."""
+    from jax.experimental import pallas as pl
+
+    N, n = H.shape[0], H.shape[-1]
+    block = N
+    for cand in (1024, 512, 256, 128):
+        if N % cand == 0:
+            block = cand
+            break
+    Hb = jnp.transpose(H, (1, 2, 0))
+    out = pl.pallas_call(
+        _sweep_kernel,
+        out_shape=jax.ShapeDtypeStruct(Hb.shape, Hb.dtype),
+        grid=(N // block,),
+        in_specs=[pl.BlockSpec((n, n, block), lambda i: (0, 0, i))],
+        out_specs=pl.BlockSpec((n, n, block), lambda i: (0, 0, i)),
+    )(Hb)
+    return jnp.transpose(out, (2, 0, 1))
+
+
+def spd_inverse(H: jax.Array) -> jax.Array:
+    """Batched SPD matrix inverse.
+
+    TPU: single fused Pallas sweep kernel (see _spd_inverse_pallas).
+    Elsewhere (CPU test meshes): recursive 2x2-block Schur complement —
     ``jnp.linalg.inv`` lowers batched LU on TPU into loop nests that access
-    ~3 GB for a (4096, 14, 14) inverse; this formulation is ~15 batched small
+    ~3 GB for a (4096, 14, 14) inverse; the Schur form is ~15 batched small
     matmuls instead.  H must be symmetric positive definite (mass matrices
     are)."""
     n = H.shape[-1]
     if n == 1:
         return 1.0 / H
+    if (jax.default_backend() == "tpu" and H.ndim == 3 and n >= 3
+            and H.dtype == jnp.float32):
+        return _spd_inverse_pallas(H)
     if n == 2:
         a = H[..., 0, 0]
         b = H[..., 0, 1]

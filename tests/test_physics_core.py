@@ -130,3 +130,23 @@ def test_slide_joint():
     # a = F/m = 2; semi-implicit euler x = sum k*dt^2*a
     expected = 2.0 * 0.01 * 0.01 * (100 * 101 / 2)
     assert abs(float(st.q[0, 0]) - expected) < 1e-3
+
+
+def test_sweep_inverse_matches_linalg():
+    """The batch-lane Gauss-Jordan sweep (TPU Pallas kernel body) is an exact
+    SPD inverse; the Schur-block fallback must agree too."""
+    import jax
+    import jax.numpy as jnp
+    from isaacgymenvs_ma_tpu.physics.engine import (
+        _sweep_inverse_batchlast, spd_inverse)
+
+    for n in (3, 7, 14, 23):
+        key = jax.random.PRNGKey(n)
+        A = jax.random.normal(key, (64, n, n))
+        H = jnp.einsum("nij,nkj->nik", A, A) + 10.0 * jnp.eye(n)
+        ref = jnp.linalg.inv(H)
+        out = jnp.transpose(
+            _sweep_inverse_batchlast(jnp.transpose(H, (1, 2, 0))), (2, 0, 1))
+        assert jnp.max(jnp.abs(out - ref)) < 1e-4, n
+        out2 = spd_inverse(H)
+        assert jnp.max(jnp.abs(out2 - ref)) < 1e-4, n
