@@ -629,16 +629,33 @@ class PhysicsEngine:
 
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)
-        V = self.body_velocities(S, qd)
         shape_scale = None if phys is None else getattr(phys, "shape", None)
-        if dyn_cache is None:
-            I_O, com_w = self.spatial_inertia(
-                body_x, body_q, None if phys is None else phys.mass,
-                shape_scale)
-            M = self.mass_matrix(S, I_O)
+
+        # batch-lane fused dynamics chain (TPU): envs ride the 128-lane minor
+        # dim, tiny body/dof axes unroll — see dyn_kernel.py.  The fallback
+        # XLA path below stays bitwise-identical to the pre-kernel build.
+        from . import dyn_kernel as dk
+        use_kernel = dk.supports(self, N, f32)
+        # each path only understands its own cache format (kernel caches are
+        # ("bl", ...)-tagged); a mismatched cache is recomputed, not misread
+        is_bl_cache = (isinstance(dyn_cache, tuple) and len(dyn_cache) == 4
+                       and dyn_cache[0] == "bl")
+        if use_kernel and not is_bl_cache:
+            dyn_cache = None
+        elif not use_kernel and is_bl_cache:
+            dyn_cache = None
+        if not use_kernel:
+            V = self.body_velocities(S, qd)
+            if dyn_cache is None:
+                I_O, com_w = self.spatial_inertia(
+                    body_x, body_q, None if phys is None else phys.mass,
+                    shape_scale)
+                M = self.mass_matrix(S, I_O)
+            else:
+                I_O, M, _ = dyn_cache
+            C = self.bias_force(S, qd, V, I_O)
         else:
-            I_O, M, _ = dyn_cache
-        C = self.bias_force(S, qd, V, I_O)
+            V = C = I_O = M = None
 
         # scalar joint coordinates (hinge/slide) for springs, limits, drives
         qpos_dof = q @ self.q_to_dof.T
@@ -659,7 +676,7 @@ class PhysicsEngine:
         tau = ctrl.tau
         # clamp applied efforts like PhysX does
         tau = jnp.clip(tau, -self.dof_effort_limit, self.dof_effort_limit)
-        rhs = tau - C
+        rhs = tau if use_kernel else tau - C
         rhs = rhs - k_spring * (qpos_dof + h * qd) - d_damp * qd
         if ctrl.pos_target is not None:
             rhs = rhs + kp_drive * (ctrl.pos_target - qpos_dof - h * qd)
@@ -676,14 +693,26 @@ class PhysicsEngine:
             rhs = rhs + jnp.einsum("nvd,vb,nbd->nv", S, self.dof_body_mask_f, f_o)
 
         diag = self.dof_armature + h * (d_damp + kd_drive) + h * h * (k_spring + kp_drive)
-        if dyn_cache is None:
-            H = M + self._diag_embed(
-                jnp.broadcast_to(diag, (N, self.nv)).astype(f32))
-            Hinv = spd_inverse(H)
+        if use_kernel:
+            rhs = jnp.broadcast_to(rhs, (N, self.nv)).astype(f32)
+            diag_b = jnp.broadcast_to(diag, (N, self.nv)).astype(f32)
+            if dyn_cache is None:
+                qdd, Hinv, cache_out = dk.dyn_forward_pallas(
+                    self, body_x, body_q, S, qd, rhs, diag_b,
+                    None if phys is None else phys.mass, shape_scale)
+            else:
+                qdd = dk.dyn_cached_pallas(self, S, qd, rhs, dyn_cache)
+                Hinv = dyn_cache[3]
+                cache_out = dyn_cache
         else:
-            Hinv = dyn_cache[2]
-
-        qdd = jnp.einsum("nij,nj->ni", Hinv, rhs, precision=_HI)
+            if dyn_cache is None:
+                H = M + self._diag_embed(
+                    jnp.broadcast_to(diag, (N, self.nv)).astype(f32))
+                Hinv = spd_inverse(H)
+            else:
+                Hinv = dyn_cache[2]
+            qdd = jnp.einsum("nij,nj->ni", Hinv, rhs, precision=_HI)
+            cache_out = (I_O, M, Hinv)
         qd_new = qd + h * qdd
 
         # ---------------- unilateral constraints (contacts + joint limits)
@@ -705,7 +734,7 @@ class PhysicsEngine:
         # ---------------- integrate
         q_new = self._integrate(q, qd_new)
         return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w,
-                               imp_dof, (I_O, M, Hinv))
+                               imp_dof, cache_out)
 
     @staticmethod
     def _sdf_local(gtype: int, size, p):
