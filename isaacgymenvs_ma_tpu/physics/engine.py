@@ -85,6 +85,17 @@ class SimParams(NamedTuple):
     # Measured on Ant/TPU: 718k -> 1.059M env-steps/s with the BEST training
     # curve of the precision sweep (BASELINE.md)
     reuse_mass_matrix: bool = True
+    # route the constraint solve through the fused batch-lane Pallas kernel
+    # (contact_kernel.py).  Default False: on Ant the XLA solve wins (see
+    # contact_kernel routing note in _contact_solve)
+    use_contact_kernel: bool = False
+    # store the loop-invariant contact-row matrices (J, H^-1 J, H^-1) in
+    # bfloat16 inside the solver iteration scan; multiplies already run in
+    # bf16 (DEFAULT precision), accumulation stays f32.  Measured on
+    # Ant/TPU: 3.97M vs 4.09M env-steps/s — the loop is bound by the tiny
+    # padded per-env GEMMs, not HBM, so this ships OFF; kept for scenes
+    # with much larger row counts.
+    solver_rows_bf16: bool = False
 
 
 class Control(NamedTuple):
@@ -722,7 +733,8 @@ class PhysicsEngine:
             qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain,
                 None if phys is None else phys.friction,
-                grab_active=ctrl.grab_active, shape_scale=shape_scale)
+                grab_active=ctrl.grab_active, shape_scale=shape_scale,
+                hinv_bl=cache_out[2] if use_kernel else None)
         else:
             qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
             p_w = None
@@ -849,14 +861,32 @@ class PhysicsEngine:
                 jnp.concatenate(mus, 0), jnp.concatenate(masks, 0),
                 jnp.concatenate(ns, 1))
 
-    def _contact_point_jacobian(self, body_x, body_q, S, shape_scale=None):
-        """World positions p (N, n_pts, 3) and J (N, n_pts, nv, 3)."""
+    def _row_masks_np(self):
+        """Static (rows, nv) dof mask for all contact rows: ground candidate
+        points (ancestor 0/1 masks) then pair rows (signed relative masks)."""
+        cached = getattr(self, "_row_masks_cache", None)
+        if cached is None:
+            parts = []
+            if self.ground and self.n_pts:
+                parts.append(np.asarray(self.pts_dof_mask).T)
+            for p_ in self.pairs:
+                parts.append(np.asarray(p_["row_mask"]))
+            cached = np.concatenate(parts, 0).astype(np.float32)
+            self._row_masks_cache = cached
+        return cached
+
+    def _contact_points(self, body_x, body_q, shape_scale=None):
+        """World contact-candidate positions p (N, n_pts, 3)."""
         xb = body_x[:, self.pts_body]                          # (N, P, 3)
         qb = body_q[:, self.pts_body]
         off = self.pts_off
         if shape_scale is not None:
             off = off * shape_scale[:, self.pts_body]          # (N, P, 3)
-        p = xb + maths.quat_apply(qb, off)
+        return xb + maths.quat_apply(qb, off)
+
+    def _contact_point_jacobian(self, body_x, body_q, S, shape_scale=None):
+        """World positions p (N, n_pts, 3) and J (N, n_pts, nv, 3)."""
+        p = self._contact_points(body_x, body_q, shape_scale)
         S_ang = S[:, None, :, 0:3]                             # (N, 1, nv, 3)
         S_lin = S[:, None, :, 3:6]
         J = S_lin + _cross(S_ang, p[:, :, None, :])            # (N, P, nv, 3)
@@ -865,13 +895,31 @@ class PhysicsEngine:
 
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
                        friction_scale=None, grab_active=None,
-                       shape_scale=None):
-        """Projected-Jacobi impulse solve for plane contacts + joint limits."""
+                       shape_scale=None, hinv_bl=None):
+        """Projected-Jacobi impulse solve for plane contacts + joint limits.
+
+        ``hinv_bl``: optional batch-last H^-1 from the dynamics kernel — its
+        presence (plus contact_kernel.supports) routes the solve through the
+        fused batch-lane Pallas kernel; geometry/narrowphase stays here."""
         pr = self.params
         h = self.h
+        from . import contact_kernel as ck
+        from .dyn_kernel import _bl as dk_bl
+        n_ground = self.n_pts if self.ground else 0
+        # Iteration-loop fusion: row building and the H^-1 J / Delassus GEMMs
+        # stay in XLA (MXU work, done once per solve); the kernel replaces
+        # only the lax.scan iteration loop, which otherwise re-reads J and
+        # H^-1 J from HBM every iteration.  Interpret-mode tests exercise the
+        # kernel path for parity on CPU.
+        from . import dyn_kernel as dk
+        kernel_on = pr.use_contact_kernel or dk._FORCE_INTERPRET
+        use_kernel = kernel_on and hinv_bl is not None and ck.supports(
+            self, qd.shape[0], qd.dtype, n_ground + self.n_pair_rows,
+            len(self.attractors), len(self.grabs), bool(self.pairs))
         # ---- ground rows
         if self.ground:
-            p, J = self._contact_point_jacobian(body_x, body_q, S, shape_scale)
+            p, J = self._contact_point_jacobian(body_x, body_q, S,
+                                                shape_scale)
             if terrain is None:
                 ground_z = jnp.zeros(p.shape[:-1], p.dtype)
             else:
@@ -886,19 +934,21 @@ class PhysicsEngine:
         else:
             p = J = phi = mu = None
         # ---- body-pair rows (frame-projected)
+        frames_all = None
         if self.pairs:
             pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q,
                                                        shape_scale)
             if friction_scale is not None:
                 pmu = pmu * friction_scale  # per-env DR friction, as on ground
+            frame = self._tangent_frame(pn)                    # (N, K, 3, 3)
             S_ang = S[:, None, :, 0:3]
             S_lin = S[:, None, :, 3:6]
             Jp = S_lin + _cross(S_ang, pp[:, :, None, :])
             Jp = Jp * pmask[None, :, :, None]      # pmask is (K, nv) signed
-            frame = self._tangent_frame(pn)                    # (N, K, 3, 3)
             Jp = jnp.einsum("nkvc,nkcl->nkvl", Jp, frame)
             if phi is None:
                 p, J, phi, mu = pp, Jp, pphi, pmu
+                frames_all = frame
             else:
                 p = jnp.concatenate([p, pp], 1)
                 J = jnp.concatenate([J, Jp], 1)
@@ -908,16 +958,12 @@ class PhysicsEngine:
                 mu_p = jnp.broadcast_to(pmu, pphi.shape) if pmu.ndim == 1 else pmu
                 phi = jnp.concatenate([phi, pphi], 1)
                 mu = jnp.concatenate([mu_g, mu_p], -1)
+                # ground rows are world-aligned: identity frames
+                eye_g = jnp.broadcast_to(
+                    jnp.eye(3, dtype=phi.dtype),
+                    (phi.shape[0], n_ground, 3, 3))
+                frames_all = jnp.concatenate([eye_g, frame], 1)
         active = phi < 0.0
-
-        # HinvJ[n,p,:,k] = Hinv @ J[n,p,:,k]: flatten rows -> one batched GEMM
-        Np, Pp = J.shape[0], J.shape[1]
-        J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, self.nv)
-        HinvJ_rows = jax.lax.dot_general(
-            J_rows, Hinv, (((2,), (1,)), ((0,), (0,))),
-            precision=_SOLVER)                                      # (N, P*3, nv)
-        HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, self.nv), 2, 3)
-        w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
 
         b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
         # cap the push-out velocity (PhysX max_depenetration_velocity)
@@ -927,18 +973,27 @@ class PhysicsEngine:
         lo_gap = qpos_dof - self.dof_lower                     # >= 0 when inside
         hi_gap = self.dof_upper - qpos_dof
         lim_mask = jnp.asarray(self.dof_has_limit)
-        hinv_diag = jnp.maximum(jnp.einsum("nvv->nv", Hinv), 1e-8)
         b_lo = -pr.baumgarte / h * jnp.minimum(lo_gap, 0.0)
         b_hi = -pr.baumgarte / h * jnp.minimum(hi_gap, 0.0)
         act_lo = lim_mask & (lo_gap < 0.0)
         act_hi = lim_mask & (hi_gap < 0.0)
+
+        # HinvJ[n,p,:,k] = Hinv @ J[n,p,:,k]: flatten rows -> one batched GEMM
+        Np, Pp = J.shape[0], J.shape[1]
+        J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, self.nv)
+        HinvJ_rows = jax.lax.dot_general(
+            J_rows, Hinv, (((2,), (1,)), ((0,), (0,))),
+            precision=_SOLVER)                                      # (N, P*3, nv)
+        HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, self.nv), 2, 3)
+        w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
+        hinv_diag = jnp.maximum(jnp.einsum("nvv->nv", Hinv), 1e-8)
 
         lam = jnp.zeros(phi.shape + (3,), qd.dtype)
         lam_lo = jnp.zeros_like(qd)
         lam_hi = jnp.zeros_like(qd)
 
         if self.grabs:
-            g_J, g_b = [], []
+            g_J, g_b, g_pts = [], [], []
             S_ang_g = S[:, None, :, 0:3]
             S_lin_g = S[:, None, :, 3:6]
             for g in self.grabs:
@@ -950,8 +1005,10 @@ class PhysicsEngine:
                 Jg = (S_lin_g + _cross(S_ang_g, pm[:, :, None, :])) \
                     * g["mask"][None, None, :, None]
                 g_J.append(Jg)
+                g_pts.append(pm)
                 g_b.append(-pr.baumgarte / h * (pa - pb))
             g_J = jnp.concatenate(g_J, 1)                      # (N, G, nv, 3)
+            g_pts = jnp.concatenate(g_pts, 1)                  # (N, G, 3)
             g_b = jnp.concatenate(g_b, 1)
             Ng, Gg = g_J.shape[0], g_J.shape[1]
             gJ_rows = jnp.swapaxes(g_J, 2, 3).reshape(Ng, Gg * 3, self.nv)
@@ -968,7 +1025,7 @@ class PhysicsEngine:
             g_J = g_HJ = g_W = g_b = g_act = lam_g = None
 
         if self.attractors:
-            att_J, att_b = [], []
+            att_J, att_b, att_pts = [], [], []
             S_ang = S[:, None, :, 0:3]
             S_lin = S[:, None, :, 3:6]
             for a in self.attractors:
@@ -976,8 +1033,10 @@ class PhysicsEngine:
                       + maths.quat_apply(body_q[:, a["body"]], a["offset"]))[:, None]
                 Ja = (S_lin + _cross(S_ang, pa[:, :, None, :])) * a["mask"][None, None, :, None]
                 att_J.append(Ja)
+                att_pts.append(pa)
                 att_b.append(-pr.baumgarte / h * (pa - a["target"]))
             att_J = jnp.concatenate(att_J, 1)                  # (N, A, nv, 3)
+            att_pts = jnp.concatenate(att_pts, 1)              # (N, A, 3)
             att_b = jnp.concatenate(att_b, 1)                  # (N, A, 3)
             Na, Aa = att_J.shape[0], att_J.shape[1]
             aJ_rows = jnp.swapaxes(att_J, 2, 3).reshape(Na, Aa * 3, self.nv)
@@ -988,6 +1047,35 @@ class PhysicsEngine:
             lam_att = jnp.zeros(att_b.shape, qd.dtype)
         else:
             att_J = att_HJ = att_W = att_b = lam_att = None
+
+        if use_kernel:
+            # hand the iteration loop to the fused Pallas kernel; everything
+            # above (rows, GEMMs, Delassus diagonals) was computed once here
+            masks = {"c": self._row_masks_np()}
+            kw = {}
+            if self.grabs:
+                masks["g"] = np.stack(
+                    [np.asarray(g["mask"]) for g in self.grabs])
+                kw.update(pts_g=g_pts, b_g=g_b, g_act=g_act, w_g=g_W)
+            if self.attractors:
+                masks["a"] = np.stack(
+                    [np.asarray(a["mask"]) for a in self.attractors])
+                kw.update(pts_a=att_pts, b_a=att_b, w_a=att_W)
+            mu_full = jnp.broadcast_to(mu, phi.shape)
+            qd, lam_k, imp_dof = ck.solve_pallas(
+                self, dk_bl(S), hinv_bl, qd, masks,
+                p, b_n, mu_full, active.astype(qd.dtype), frames_all, w_diag,
+                b_lo, b_hi, act_lo.astype(qd.dtype), act_hi.astype(qd.dtype),
+                **kw)
+            if self.pairs:
+                kg = lam_k.shape[1] - frame.shape[1]
+                lam_pairs_w = jnp.einsum(
+                    "nkcl,nkl->nkc", frame, lam_k[:, kg:])
+                imp_world = (jnp.concatenate([lam_k[:, :kg], lam_pairs_w], 1)
+                             if kg else lam_pairs_w)
+            else:
+                imp_world = lam_k
+            return qd, imp_world, p, imp_dof
 
         relax = pr.relaxation
 
@@ -1002,20 +1090,29 @@ class PhysicsEngine:
         def flat_rows(x):  # (N, C, nv, 3) -> (N, C*3, nv)
             return jnp.swapaxes(x, 2, 3).reshape(N, -1, nv)
 
+        # Optionally store the loop-invariant row matrices bf16 inside the
+        # scan (SimParams.solver_rows_bf16): multiplies are bf16 at DEFAULT
+        # precision either way, accumulation stays f32 via
+        # preferred_element_type.
+        row_t = jnp.bfloat16 if pr.solver_rows_bf16 else qd.dtype
+
         def matvec(A, x):  # (N, R, nv) x (N, nv) -> (N, R)
-            return jax.lax.dot_general(A, x, (((2,), (1,)), ((0,), (0,))),
-                                       precision=_SOLVER)
+            return jax.lax.dot_general(
+                A, x.astype(A.dtype), (((2,), (1,)), ((0,), (0,))),
+                precision=_SOLVER, preferred_element_type=qd.dtype)
 
         def matvec_T(x, A):  # (N, R) x (N, R, nv) -> (N, nv)
-            return jax.lax.dot_general(x, A, (((1,), (1,)), ((0,), (0,))),
-                                       precision=_SOLVER)
+            return jax.lax.dot_general(
+                x.astype(A.dtype), A, (((1,), (1,)), ((0,), (0,))),
+                precision=_SOLVER, preferred_element_type=qd.dtype)
 
-        Jr = flat_rows(J)
-        HJr = flat_rows(HinvJ)
+        Jr = flat_rows(J).astype(row_t)
+        HJr = flat_rows(HinvJ).astype(row_t)
+        Hinv_r = Hinv.astype(row_t)
         if g_J is not None:
-            gJr, gHJr = flat_rows(g_J), flat_rows(g_HJ)
+            gJr, gHJr = flat_rows(g_J).astype(row_t), flat_rows(g_HJ).astype(row_t)
         if att_J is not None:
-            aJr, aHJr = flat_rows(att_J), flat_rows(att_HJ)
+            aJr, aHJr = flat_rows(att_J).astype(row_t), flat_rows(att_HJ).astype(row_t)
 
         def body_fn(carry, _):
             qd_c, lam, lam_lo, lam_hi, lam_att, lam_g = carry
@@ -1049,7 +1146,7 @@ class PhysicsEngine:
             lam_hi_new = jnp.where(
                 act_hi, jnp.maximum(lam_hi + relax * (b_hi + qd_c2) / hinv_diag, 0.0), 0.0)
             dlim = (lam_lo_new - lam_lo) - (lam_hi_new - lam_hi)
-            qd_c2 = qd_c2 + matvec(Hinv, dlim)
+            qd_c2 = qd_c2 + matvec(Hinv_r, dlim)
             return (qd_c2, lam_new, lam_lo_new, lam_hi_new, lam_att, lam_g), None
 
         (qd, lam, lam_lo, lam_hi, lam_att, lam_g), _ = jax.lax.scan(

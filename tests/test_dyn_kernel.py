@@ -132,3 +132,39 @@ def test_full_step_parity_interpret():
     np.testing.assert_allclose(
         np.asarray(res_k.obs), np.asarray(res_ref.obs),
         rtol=2e-3, atol=2e-3)
+
+
+def _step_parity(task_name, overrides, n=128, atol=3e-3, rtol=3e-3):
+    from isaacgymenvs_ma_tpu.tasks import registry
+    from isaacgymenvs_ma_tpu.utils.config import deep_merge
+    cfg = deep_merge(registry.task_default_config(task_name),
+                     {"env": {"numEnvs": n}, **overrides})
+    task = registry.create_task(task_name, cfg)
+    state = task.initial_state(jax.random.PRNGKey(11))
+    acts = jax.random.uniform(
+        jax.random.PRNGKey(12), (task.rl_games_batch, task.num_actions),
+        minval=-1, maxval=1)
+    state_ref, res_ref = task.step(state, acts)
+    dk._FORCE_INTERPRET = True
+    dk._PLANS.clear()
+    try:
+        state_k, res_k = task.step(state, acts)
+    finally:
+        dk._FORCE_INTERPRET = False
+    np.testing.assert_allclose(
+        np.asarray(state_k.sim.qd), np.asarray(state_ref.sim.qd),
+        rtol=rtol, atol=atol)
+    np.testing.assert_allclose(
+        np.asarray(res_k.obs), np.asarray(res_ref.obs), rtol=rtol, atol=atol)
+
+
+def test_step_parity_ball_balance_interpret():
+    """Pair rows (ball-vs-tray), tangent frames, and attractor rows through
+    the contact kernel (BallBalance — ball_balance.py:306-320 attractors)."""
+    _step_parity("BallBalance", {})
+
+
+@pytest.mark.slow
+def test_step_parity_factory_pick_interpret():
+    """Grab (suction) rows + SDF pair rows through the contact kernel."""
+    _step_parity("FactoryTaskNutBoltPick", {})
