@@ -130,8 +130,9 @@ def compute_dof_torque(cfg_ctrl, dof_pos, dof_vel, fingertip_pos,
                 cfg_ctrl["task_prop_gains"], cfg_ctrl["task_deriv_gains"])
             if cfg_ctrl.get("do_inertial_comp"):
                 # operational-space Lambda = (J M^-1 J^T)^-1 (ETH eq. 3.86)
-                M_inv = jnp.linalg.inv(arm_mass_matrix)
-                lam = jnp.linalg.inv(jacobian @ M_inv @ JT
+                from ..physics.engine import spd_inverse
+                M_inv = spd_inverse(arm_mass_matrix)
+                lam = spd_inverse(jacobian @ M_inv @ JT
                                      + 1e-6 * jnp.eye(6))
                 w_motion = jnp.einsum("nij,nj->ni", lam, w_motion)
             task_wrench = task_wrench + jnp.asarray(

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .engine import spd_inverse
+
 
 def osc_torques(mm, j_eef, eef_vel, q, qd, dpose, default_dof_pos,
                 kp=150.0, kd=None, kp_null=10.0, kd_null=None,
@@ -25,9 +27,13 @@ def osc_torques(mm, j_eef, eef_vel, q, qd, dpose, default_dof_pos,
     kd = 2.0 * jnp.sqrt(kp) if kd is None else kd
     kd_null = 2.0 * jnp.sqrt(kp_null) if kd_null is None else kd_null
 
-    mm_inv = jnp.linalg.inv(mm)
+    # both inverses are SPD (mass matrix; J M^-1 J^T) — the batch-lane
+    # sweep kernel inverts them in one HBM round trip, where jnp.linalg.inv
+    # lowers to LuDecompositionBlock custom-calls that cost 26 ms/step on
+    # FrankaReachMA @ 8192 arms (traced)
+    mm_inv = spd_inverse(mm)
     m_eef_inv = j_eef @ mm_inv @ jnp.swapaxes(j_eef, 1, 2)
-    m_eef = jnp.linalg.inv(m_eef_inv)
+    m_eef = spd_inverse(m_eef_inv)
     u = jnp.swapaxes(j_eef, 1, 2) @ m_eef @ (
         kp * dpose - kd * eef_vel)[..., None]
 

@@ -91,11 +91,16 @@ class SimParams(NamedTuple):
     use_contact_kernel: bool = False
     # store the loop-invariant contact-row matrices (J, H^-1 J, H^-1) in
     # bfloat16 inside the solver iteration scan; multiplies already run in
-    # bf16 (DEFAULT precision), accumulation stays f32.  Measured on
-    # Ant/TPU: 3.97M vs 4.09M env-steps/s — the loop is bound by the tiny
-    # padded per-env GEMMs, not HBM, so this ships OFF; kept for scenes
-    # with much larger row counts.
-    solver_rows_bf16: bool = False
+    # bf16 (DEFAULT precision), accumulation stays f32.  None = auto: on
+    # when rows*nv is large enough for the loop to be HBM-bound (measured
+    # ShadowHand 18.2 -> 13.1 ms/solve), off for small scenes where it is
+    # GEMM-padding-bound instead (measured Ant 4.09M -> 3.97M env-steps/s).
+    solver_rows_bf16: Optional[bool] = None
+    # iterate only the K deepest contact rows per env (active-set compaction,
+    # the PhysX contact-buffer analog).  None = all candidate rows.  Exact
+    # while #active <= K; see _contact_solve.  Set from the task sim config
+    # (sim.physx.contact_capacity).
+    contact_capacity: Optional[int] = None
 
 
 class Control(NamedTuple):
@@ -175,9 +180,13 @@ def _spd_inverse_pallas(H: jax.Array) -> jax.Array:
     from jax.experimental import pallas as pl
 
     N, n = H.shape[0], H.shape[-1]
+    # the Mosaic stack for the sweep peaks at ~7x the (n, n, block) payload
+    # (measured: 24.9 MB for (30, 30, 1024) f32); stay under the 16 MB
+    # scoped-vmem limit with margin
+    budget = 14 * 1024 * 1024 // (8 * n * n * 4)
     block = N
-    for cand in (1024, 512, 256, 128):
-        if N % cand == 0:
+    for cand in (1024, 512, 256, 128, 64, 32):
+        if N % cand == 0 and cand <= budget:
             block = cand
             break
     Hb = jnp.transpose(H, (1, 2, 0))
@@ -356,6 +365,21 @@ class PhysicsEngine:
             self.pts_mu = f32(np.array(pts_mu))
             # (nv, n_pts) dof-ancestor mask for contact jacobians
             self.pts_dof_mask = f32(np.asarray(m.dof_body_mask)[:, self.pts_body])
+        # Ground-row subset: candidates on fixed-base trees that provably can
+        # never reach the ground plane are pruned at build time (PhysX's
+        # broadphase culls these dynamically; our static-shape analog is a
+        # sound kinematic reach bound).  ShadowHand: 80 -> 16 rows.
+        if self.n_pts:
+            keep = np.nonzero(self._ground_reachable(m))[0]
+            self.gnd_idx = keep.astype(np.int32)
+            self.n_ground = len(keep)
+            self.gnd_body = self.pts_body[keep]
+            self.gnd_off = self.pts_off[keep]
+            self.gnd_rad = self.pts_rad[keep]
+            self.gnd_mu = self.pts_mu[keep]
+            self.gnd_dof_mask = self.pts_dof_mask[:, keep]
+        else:
+            self.n_ground = 0
         self.sensor_body = np.asarray(m.sensor_body)
         sp = np.asarray(m.sensor_pos)
         if sp.shape != (len(self.sensor_body), 3):
@@ -391,9 +415,9 @@ class PhysicsEngine:
         self.n_pair_rows = sum(len(p["pt_idx"]) for p in self.pairs)
         # static contact-row body attribution (A gets +f, B gets -f; -1 = world)
         ra, rb = [], []
-        if ground and self.n_pts:
-            ra.extend(self.pts_body.tolist())
-            rb.extend([-1] * self.n_pts)
+        if ground and self.n_ground:
+            ra.extend(self.gnd_body.tolist())
+            rb.extend([-1] * self.n_ground)
         for p_ in self.pairs:
             ra.extend(self.pts_body[p_["pt_idx"]].tolist())
             rb.extend([p_["tgt_body"]] * len(p_["pt_idx"]))
@@ -729,7 +753,7 @@ class PhysicsEngine:
         # ---------------- unilateral constraints (contacts + joint limits)
         impulse_pts = None
         imp_dof = jnp.zeros_like(qd_new)
-        if (self.ground and self.n_pts) or self.pairs or self.grabs:
+        if (self.ground and self.n_ground) or self.pairs or self.grabs:
             qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain,
                 None if phys is None else phys.friction,
@@ -867,30 +891,85 @@ class PhysicsEngine:
         cached = getattr(self, "_row_masks_cache", None)
         if cached is None:
             parts = []
-            if self.ground and self.n_pts:
-                parts.append(np.asarray(self.pts_dof_mask).T)
+            if self.ground and self.n_ground:
+                parts.append(np.asarray(self.gnd_dof_mask).T)
             for p_ in self.pairs:
                 parts.append(np.asarray(p_["row_mask"]))
             cached = np.concatenate(parts, 0).astype(np.float32)
             self._row_masks_cache = cached
         return cached
 
+    def _ground_reachable(self, m) -> np.ndarray:
+        """Static reachability of the ground plane per candidate point.
+
+        For a point on body ``b`` whose kinematic tree has a non-FREE root,
+        world z is bounded below by
+
+            z_root - sum_{links root->b} (|body_pos| + slide/screw range)
+                   - |pt_off| - rad
+
+        (|R v| = |v| bounds any hinge orientation; slide/screw joints add
+        their limit range, unlimited ones make the bound -inf).  A point
+        whose bound stays above the plane with margin can never generate a
+        ground row.  The margin doubles the point-offset term (object-dim DR
+        scales pts_off per env, vec_task.py:612-842 analog) and adds 0.1 m
+        absolute.  Trees with a FREE root (floating bases, loose objects)
+        are always reachable — which also keeps this sound for terrain
+        tasks, whose robots are floating-base (heightfields can rise above
+        z=0; fixed-base tasks have no terrain)."""
+        parent = np.asarray(m.parent)
+        jnt = np.asarray(m.jnt_type)
+        body_pos = np.asarray(m.body_pos, np.float64)
+        v_adr = np.asarray(m.v_adr)
+        lo = np.asarray(m.dof_lower, np.float64)
+        hi = np.asarray(m.dof_upper, np.float64)
+        has_lim = np.asarray(m.dof_has_limit, bool)
+        min_z = np.full(m.nb, -np.inf)
+        for b in range(m.nb):
+            path = []
+            a = b
+            while parent[a] != -1:
+                path.append(a)
+                a = int(parent[a])
+            root = a
+            if jnt[root] == md.FREE:
+                continue                      # floating tree: reachable
+            bound = float(body_pos[root][2])
+            ok = True
+            for link in path:
+                bound -= float(np.linalg.norm(body_pos[link]))
+                if jnt[link] in (md.SLIDE, md.SCREW):
+                    v = int(v_adr[link])
+                    if not has_lim[v]:
+                        ok = False
+                        break
+                    bound -= max(abs(lo[v]), abs(hi[v]))
+                elif jnt[link] == md.FREE:    # free joint mid-tree
+                    ok = False
+                    break
+            if ok:
+                min_z[b] = bound
+        pt_term = 2.0 * (np.linalg.norm(np.asarray(self.pts_off, np.float64),
+                                        axis=-1)
+                         + np.asarray(self.pts_rad, np.float64))
+        return min_z[self.pts_body] - pt_term - 0.1 <= 0.0
+
     def _contact_points(self, body_x, body_q, shape_scale=None):
-        """World contact-candidate positions p (N, n_pts, 3)."""
-        xb = body_x[:, self.pts_body]                          # (N, P, 3)
-        qb = body_q[:, self.pts_body]
-        off = self.pts_off
+        """World ground-candidate positions p (N, n_ground, 3)."""
+        xb = body_x[:, self.gnd_body]                          # (N, P, 3)
+        qb = body_q[:, self.gnd_body]
+        off = self.gnd_off
         if shape_scale is not None:
-            off = off * shape_scale[:, self.pts_body]          # (N, P, 3)
+            off = off * shape_scale[:, self.gnd_body]          # (N, P, 3)
         return xb + maths.quat_apply(qb, off)
 
     def _contact_point_jacobian(self, body_x, body_q, S, shape_scale=None):
-        """World positions p (N, n_pts, 3) and J (N, n_pts, nv, 3)."""
+        """World positions p (N, n_ground, 3) and J (N, n_ground, nv, 3)."""
         p = self._contact_points(body_x, body_q, shape_scale)
         S_ang = S[:, None, :, 0:3]                             # (N, 1, nv, 3)
         S_lin = S[:, None, :, 3:6]
         J = S_lin + _cross(S_ang, p[:, :, None, :])            # (N, P, nv, 3)
-        J = J * self.pts_dof_mask.T[None, :, :, None]          # mask non-ancestor dofs
+        J = J * self.gnd_dof_mask.T[None, :, :, None]          # mask non-ancestor dofs
         return p, J
 
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
@@ -905,7 +984,7 @@ class PhysicsEngine:
         h = self.h
         from . import contact_kernel as ck
         from .dyn_kernel import _bl as dk_bl
-        n_ground = self.n_pts if self.ground else 0
+        n_ground = self.n_ground if self.ground else 0
         # Iteration-loop fusion: row building and the H^-1 J / Delassus GEMMs
         # stay in XLA (MXU work, done once per solve); the kernel replaces
         # only the lax.scan iteration loop, which otherwise re-reads J and
@@ -917,18 +996,18 @@ class PhysicsEngine:
             self, qd.shape[0], qd.dtype, n_ground + self.n_pair_rows,
             len(self.attractors), len(self.grabs), bool(self.pairs))
         # ---- ground rows
-        if self.ground:
+        if self.ground and n_ground:
             p, J = self._contact_point_jacobian(body_x, body_q, S,
                                                 shape_scale)
             if terrain is None:
                 ground_z = jnp.zeros(p.shape[:-1], p.dtype)
             else:
                 ground_z = terrain.height_at(p[..., 0], p[..., 1])
-            rad = self.pts_rad
+            rad = self.gnd_rad
             if shape_scale is not None:
-                rad = rad * jnp.mean(shape_scale[:, self.pts_body], axis=-1)
+                rad = rad * jnp.mean(shape_scale[:, self.gnd_body], axis=-1)
             phi = p[..., 2] - rad - ground_z                   # (N, P)
-            mu = self.pts_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
+            mu = self.gnd_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
             if friction_scale is not None:
                 mu = mu * friction_scale
         else:
@@ -978,6 +1057,33 @@ class PhysicsEngine:
         act_lo = lim_mask & (lo_gap < 0.0)
         act_hi = lim_mask & (hi_gap < 0.0)
 
+        # Active-set compaction (the PhysX generated-contacts /
+        # max_gpu_contact_pairs analog, cfg/task/Ant.yaml:58): the candidate
+        # row set is static for XLA, but only rows near contact carry
+        # impulses.  Gather the K deepest rows per env and run the GEMMs and
+        # the whole iteration loop on (N, K, ...) instead of (N, P, ...) —
+        # exactly equivalent whenever #active <= K (inactive rows contribute
+        # zero), deepest-K capping beyond, like PhysX's contact buffer.
+        sel = None
+        K = pr.contact_capacity
+        if K is not None and not use_kernel and phi.shape[1] > K:
+            _, idx = jax.lax.top_k(-phi, K)                    # (N, K)
+            # gather as one-hot GEMMs: XLA lowers batched gather/scatter HLOs
+            # into dynamic-slice loops on TPU (measured 2.6x SLOWER overall
+            # with take_along_axis); a (K, P) selection matmul rides the MXU
+            sel = (idx[:, :, None] ==
+                   jnp.arange(phi.shape[1])[None, None, :]).astype(qd.dtype)
+            take = lambda x: jax.lax.dot_general(
+                sel, x, (((2,), (1,)), ((0,), (0,))), precision=_SOLVER)
+            b_n = take(b_n)
+            mu = take(jnp.broadcast_to(mu, phi.shape))
+            active = take(active.astype(qd.dtype)) > 0.5
+            NJ = J.shape[0]
+            J = jax.lax.dot_general(
+                sel, J.reshape(NJ, -1, self.nv * 3),
+                (((2,), (1,)), ((0,), (0,))),
+                precision=_SOLVER).reshape(NJ, K, self.nv, 3)
+
         # HinvJ[n,p,:,k] = Hinv @ J[n,p,:,k]: flatten rows -> one batched GEMM
         Np, Pp = J.shape[0], J.shape[1]
         J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, self.nv)
@@ -988,7 +1094,7 @@ class PhysicsEngine:
         w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
         hinv_diag = jnp.maximum(jnp.einsum("nvv->nv", Hinv), 1e-8)
 
-        lam = jnp.zeros(phi.shape + (3,), qd.dtype)
+        lam = jnp.zeros(J.shape[:2] + (3,), qd.dtype)
         lam_lo = jnp.zeros_like(qd)
         lam_hi = jnp.zeros_like(qd)
 
@@ -1153,6 +1259,11 @@ class PhysicsEngine:
             body_fn, (qd, lam, lam_lo, lam_hi, lam_att, lam_g), None,
             length=self.params.num_iterations)
         imp_dof = matvec_T(lam.reshape(N, -1), Jr) + (lam_lo - lam_hi)
+        if sel is not None:
+            # scatter compacted impulses back to the static row set via the
+            # transposed selection matmul (top_k rows are unique one-hots)
+            lam = jax.lax.dot_general(
+                sel, lam, (((1,), (1,)), ((0,), (0,))), precision=_SOLVER)
         # world-frame impulse vectors per row (ground rows are world-aligned)
         if self.pairs:
             kg = lam.shape[1] - frame.shape[1]

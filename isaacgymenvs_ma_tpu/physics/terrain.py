@@ -199,6 +199,82 @@ class TerrainGrid(NamedTuple):
         y0 = jnp.clip(jnp.floor(hy).astype(jnp.int32), 0, L - 2)
         return jnp.minimum(self.heights[x0, y0], self.heights[x0 + 1, y0 + 1])
 
+    def local_window(self, cx: jax.Array, cy: jax.Array, size: int):
+        """Per-env local window for TPU-native lookups.
+
+        Batched point gathers from the global grid lower to scalar
+        dynamic-slice loops on TPU (measured 2.84 ms per height_at call on
+        AnymalTerrain @ 4096 envs, 6+ calls per control step).  All of a
+        step's queries are within ~1.5 m of the robot base, so slice one
+        (size, size) patch per env here — once per control step — and
+        resolve every lookup inside the patch with one-hot GEMMs on the MXU
+        (LocalTerrain).  ``size`` must cover the query radius:
+        2 * ceil(radius / horizontal_scale) + 4."""
+        W, L = self.heights.shape
+        s = self.horizontal_scale
+        ix = jnp.clip(jnp.round((cx - self.origin_xy[0]) / s).astype(jnp.int32)
+                      - size // 2, 0, W - size)
+        iy = jnp.clip(jnp.round((cy - self.origin_xy[1]) / s).astype(jnp.int32)
+                      - size // 2, 0, L - size)
+        patch = jax.vmap(
+            lambda i, j: jax.lax.dynamic_slice(self.heights, (i, j),
+                                               (size, size)))(ix, iy)
+        return LocalTerrain(patch=patch,
+                            base_cell=jnp.stack([ix, iy], -1),
+                            horizontal_scale=self.horizontal_scale,
+                            origin_xy=self.origin_xy)
+
+
+class LocalTerrain(NamedTuple):
+    """Per-env heightfield window with MXU-friendly lookups.
+
+    Drop-in for TerrainGrid.height_at/height_min2 over batched (N, P) query
+    points that lie inside each env's window (points beyond it clamp to the
+    window edge — the window is sized to cover every legitimate query).
+    Bilinear interpolation is separable, so height_at is a single
+    soft-one-hot GEMM pair per query set instead of four gathers."""
+
+    patch: jax.Array          # (N, S, S)
+    base_cell: jax.Array      # (N, 2) int32 global grid coords of patch[0,0]
+    horizontal_scale: float
+    origin_xy: tuple
+
+    def _frac_coords(self, x, y):
+        s = self.horizontal_scale
+        hx = (x - self.origin_xy[0]) / s - self.base_cell[:, None, 0]
+        hy = (y - self.origin_xy[1]) / s - self.base_cell[:, None, 1]
+        S = self.patch.shape[-1]
+        x0 = jnp.clip(jnp.floor(hx).astype(jnp.int32), 0, S - 2)
+        y0 = jnp.clip(jnp.floor(hy).astype(jnp.int32), 0, S - 2)
+        return x0, y0, jnp.clip(hx - x0, 0.0, 1.0), jnp.clip(hy - y0, 0.0, 1.0)
+
+    def _sep_lookup(self, wx, wy):
+        """h[n, p] = sum_{i,j} wx[n,p,i] patch[n,i,j] wy[n,p,j] — two batched
+        GEMM-shaped contractions that ride the MXU."""
+        rows = jnp.einsum("npi,nij->npj", wx, self.patch)
+        return jnp.sum(rows * wy, -1)
+
+    def _soft_one_hot(self, i0, frac):
+        S = self.patch.shape[-1]
+        cells = jnp.arange(S, dtype=jnp.int32)
+        at0 = (i0[..., None] == cells).astype(self.patch.dtype)
+        at1 = (i0[..., None] + 1 == cells).astype(self.patch.dtype)
+        return at0 * (1.0 - frac[..., None]) + at1 * frac[..., None]
+
+    def height_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        x0, y0, fx, fy = self._frac_coords(x, y)
+        return self._sep_lookup(self._soft_one_hot(x0, fx),
+                                self._soft_one_hot(y0, fy))
+
+    def height_min2(self, x, y):
+        x0, y0, _, _ = self._frac_coords(x, y)
+        z = jnp.zeros_like(x)
+        h00 = self._sep_lookup(self._soft_one_hot(x0, z),
+                               self._soft_one_hot(y0, z))
+        h11 = self._sep_lookup(self._soft_one_hot(x0 + 1, z),
+                               self._soft_one_hot(y0 + 1, z))
+        return jnp.minimum(h00, h11)
+
 
 class CurriculumTerrain:
     """The AnymalTerrain map: rows = difficulty levels, cols = terrain types

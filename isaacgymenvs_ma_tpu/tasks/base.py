@@ -66,6 +66,10 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         # reuse the mass-matrix chain across substeps (IGMA_MM_REUSE=0 opts
         # out to exact per-substep evaluation)
         reuse_mass_matrix=os.environ.get("IGMA_MM_REUSE", "1") == "1",
+        # active-set compaction capacity (our static-shape analog of
+        # max_gpu_contact_pairs — per-env, not global)
+        contact_capacity=(int(physx["contact_capacity"])
+                          if "contact_capacity" in physx else None),
     )
 
 
@@ -122,6 +126,14 @@ class VecTaskBase:
 
     def initial_task_state(self) -> Any:
         return None
+
+    def step_terrain(self, sim):
+        """Terrain object used for this control step's physics + obs.
+
+        Hook: AnymalTerrain swaps in a per-env LocalTerrain window so the
+        heightfield lookups run as MXU one-hot GEMMs instead of TPU-hostile
+        batched gathers (physics/terrain.py local_window)."""
+        return self.terrain
 
     def pre_physics(self, state: EnvState, actions: jax.Array) -> Control:
         raise NotImplementedError
@@ -193,9 +205,10 @@ class VecTaskBase:
 
         ctrl = self.pre_physics(state, actions)
         sim = state.sim
+        terrain = self.step_terrain(sim)
         out = None
         for _ in range(self.control_freq_inv):
-            sim, out = self.engine.step(sim, ctrl, terrain=self.terrain,
+            sim, out = self.engine.step(sim, ctrl, terrain=terrain,
                                         phys=state.phys)
 
         # ---- sim-health safety net ----

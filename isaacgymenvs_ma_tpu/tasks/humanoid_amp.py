@@ -65,6 +65,7 @@ TASK_CFG = {
         "physx": {
             "num_threads": 4, "solver_type": 1, "use_gpu": True,
             "num_position_iterations": 4, "num_velocity_iterations": 0,
+            "contact_capacity": 16,  # 42 candidate rows
             "contact_offset": 0.02, "rest_offset": 0.0,
             "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 10.0,
             "default_buffer_size_multiplier": 5.0,
