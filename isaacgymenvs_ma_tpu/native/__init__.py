@@ -152,6 +152,21 @@ def voxelize_mesh(verts: np.ndarray, tris: np.ndarray, origin, spacing,
     origin = np.ascontiguousarray(origin, np.float32)
     spacing = np.ascontiguousarray(spacing, np.float32)
     dims = np.ascontiguousarray(dims, np.int32)
+    # disk cache keyed on the exact inputs: grid baking dominates task
+    # construction for mesh-heavy scenes (AllegroKuka: ~110 s), and every
+    # process (train CLI, tests, benches) rebuilds the same grids
+    h = hashlib.sha256()
+    for a in (verts, tris, origin, spacing, dims):
+        h.update(a.tobytes())
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"igma_tpu_sdfgrid_{h.hexdigest()[:20]}_{os.getuid()}.npy")
+    if os.path.exists(cache):
+        try:
+            g = np.load(cache)
+            if g.shape == (int(dims[0]), int(dims[1]), int(dims[2])):
+                return g
+        except Exception:
+            pass
     out = np.empty(int(dims[0]) * int(dims[1]) * int(dims[2]), np.float32)
     lib = _load()
     if lib is not None:
@@ -168,7 +183,14 @@ def voxelize_mesh(verts: np.ndarray, tris: np.ndarray, origin, spacing,
         pts = origin[None, :] + spacing[None, :] * np.stack(
             [ii.ravel(), jj.ravel(), kk.ravel()], -1).astype(np.float32)
         out[:] = _signed_distance_np(verts, tris, pts)
-    return out.reshape(int(dims[0]), int(dims[1]), int(dims[2]))
+    grid = out.reshape(int(dims[0]), int(dims[1]), int(dims[2]))
+    try:
+        tmp = cache + f".w{os.getpid()}"
+        np.save(tmp, grid)
+        os.replace(tmp + ".npy" if not tmp.endswith(".npy") else tmp, cache)
+    except Exception:
+        pass
+    return grid
 
 
 def query_mesh_sdf(verts: np.ndarray, tris: np.ndarray,
