@@ -156,6 +156,9 @@ def voxelize_mesh(verts: np.ndarray, tris: np.ndarray, origin, spacing,
     # construction for mesh-heavy scenes (AllegroKuka: ~110 s), and every
     # process (train CLI, tests, benches) rebuilds the same grids
     h = hashlib.sha256()
+    # key includes the SDF implementation (native lib vs numpy fallback) and
+    # an algorithm version so an implementation change invalidates old grids
+    h.update(b"igma-sdf-v1:" + (b"native" if _load() is not None else b"numpy"))
     for a in (verts, tris, origin, spacing, dims):
         h.update(a.tobytes())
     cache = os.path.join(tempfile.gettempdir(),

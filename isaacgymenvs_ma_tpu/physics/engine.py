@@ -184,11 +184,16 @@ def _spd_inverse_pallas(H: jax.Array) -> jax.Array:
     # (measured: 24.9 MB for (30, 30, 1024) f32); stay under the 16 MB
     # scoped-vmem limit with margin
     budget = 14 * 1024 * 1024 // (8 * n * n * 4)
-    block = N
+    block = None
     for cand in (1024, 512, 256, 128, 64, 32):
         if N % cand == 0 and cand <= budget:
             block = cand
             break
+    if block is None:
+        # nothing fits the budget (very large n): take the smallest dividing
+        # candidate rather than the whole batch, which would be worst of all
+        fits = [c for c in (32, 64, 128, 256, 512, 1024) if N % c == 0]
+        block = fits[0] if fits else N
     Hb = jnp.transpose(H, (1, 2, 0))
     out = pl.pallas_call(
         _sweep_kernel,
@@ -920,10 +925,29 @@ class PhysicsEngine:
         parent = np.asarray(m.parent)
         jnt = np.asarray(m.jnt_type)
         body_pos = np.asarray(m.body_pos, np.float64)
+        jnt_pos = np.asarray(m.jnt_pos, np.float64)
         v_adr = np.asarray(m.v_adr)
         lo = np.asarray(m.dof_lower, np.float64)
         hi = np.asarray(m.dof_upper, np.float64)
         has_lim = np.asarray(m.dof_has_limit, bool)
+
+        def joint_trans(link):
+            """Upper bound on |origin displacement| this link's joint adds
+            beyond |body_pos|: hinge/screw anchors move the origin by
+            bp + R(bq)a - R(ql)a (fk, engine.py:480-489) -> up to 2|a|;
+            slide/screw axis translation is bounded by the dof limits
+            (None = unbounded -> tree is always reachable)."""
+            t = int(jnt[link])
+            d = 0.0
+            if t in (md.HINGE, md.SCREW):
+                d += 2.0 * float(np.linalg.norm(jnt_pos[link]))
+            if t in (md.SLIDE, md.SCREW):
+                v = int(v_adr[link])
+                if not has_lim[v]:
+                    return None
+                d += max(abs(lo[v]), abs(hi[v]))
+            return d
+
         min_z = np.full(m.nb, -np.inf)
         for b in range(m.nb):
             path = []
@@ -934,19 +958,21 @@ class PhysicsEngine:
             root = a
             if jnt[root] == md.FREE:
                 continue                      # floating tree: reachable
+            # the root's own joint can move its origin below body_pos[2] too
             bound = float(body_pos[root][2])
-            ok = True
-            for link in path:
-                bound -= float(np.linalg.norm(body_pos[link]))
-                if jnt[link] in (md.SLIDE, md.SCREW):
-                    v = int(v_adr[link])
-                    if not has_lim[v]:
-                        ok = False
-                        break
-                    bound -= max(abs(lo[v]), abs(hi[v]))
-                elif jnt[link] == md.FREE:    # free joint mid-tree
+            d0 = joint_trans(root)
+            ok = d0 is not None
+            if ok:
+                bound -= d0
+            for link in (path if ok else ()):
+                if jnt[link] == md.FREE:      # free joint mid-tree
                     ok = False
                     break
+                d = joint_trans(link)
+                if d is None:
+                    ok = False
+                    break
+                bound -= float(np.linalg.norm(body_pos[link])) + d
             if ok:
                 min_z[b] = bound
         pt_term = 2.0 * (np.linalg.norm(np.asarray(self.pts_off, np.float64),
@@ -992,10 +1018,20 @@ class PhysicsEngine:
         # kernel path for parity on CPU.
         from . import dyn_kernel as dk
         kernel_on = pr.use_contact_kernel or dk._FORCE_INTERPRET
-        use_kernel = kernel_on and hinv_bl is not None and ck.supports(
-            self, qd.shape[0], qd.dtype, n_ground + self.n_pair_rows,
-            len(self.attractors), len(self.grabs), bool(self.pairs))
+        use_kernel = (kernel_on and hinv_bl is not None
+                      and n_ground + self.n_pair_rows > 0
+                      and ck.supports(
+                          self, qd.shape[0], qd.dtype,
+                          n_ground + self.n_pair_rows,
+                          len(self.attractors), len(self.grabs),
+                          bool(self.pairs)))
         # ---- ground rows
+        if terrain is not None and self.n_ground != self.n_pts:
+            raise ValueError(
+                "ground-candidate pruning assumed a flat z=0 plane, but this "
+                "scene steps with a terrain heightfield and has pruned "
+                "candidates on a fixed-base tree; rebuild the engine without "
+                "fixed-base trees or disable pruning for this scene")
         if self.ground and n_ground:
             p, J = self._contact_point_jacobian(body_x, body_q, S,
                                                 shape_scale)
@@ -1042,6 +1078,14 @@ class PhysicsEngine:
                     jnp.eye(3, dtype=phi.dtype),
                     (phi.shape[0], n_ground, 3, 3))
                 frames_all = jnp.concatenate([eye_g, frame], 1)
+        if phi is None:
+            # grabs/attractors-only scene (every ground candidate pruned, no
+            # pairs): run the loop with an empty contact-row set
+            N0 = qd.shape[0]
+            p = jnp.zeros((N0, 0, 3), qd.dtype)
+            J = jnp.zeros((N0, 0, self.nv, 3), qd.dtype)
+            phi = jnp.zeros((N0, 0), qd.dtype)
+            mu = jnp.zeros((N0, 0), qd.dtype)
         active = phi < 0.0
 
         b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
@@ -1073,8 +1117,11 @@ class PhysicsEngine:
             # with take_along_axis); a (K, P) selection matmul rides the MXU
             sel = (idx[:, :, None] ==
                    jnp.arange(phi.shape[1])[None, None, :]).astype(qd.dtype)
+            # HIGHEST: selection by an exact one-hot must not round the
+            # selected f32 values to bf16 (DEFAULT-precision multiplies do)
             take = lambda x: jax.lax.dot_general(
-                sel, x, (((2,), (1,)), ((0,), (0,))), precision=_SOLVER)
+                sel, x, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)
             b_n = take(b_n)
             mu = take(jnp.broadcast_to(mu, phi.shape))
             active = take(active.astype(qd.dtype)) > 0.5
@@ -1082,7 +1129,7 @@ class PhysicsEngine:
             J = jax.lax.dot_general(
                 sel, J.reshape(NJ, -1, self.nv * 3),
                 (((2,), (1,)), ((0,), (0,))),
-                precision=_SOLVER).reshape(NJ, K, self.nv, 3)
+                precision=jax.lax.Precision.HIGHEST).reshape(NJ, K, self.nv, 3)
 
         # HinvJ[n,p,:,k] = Hinv @ J[n,p,:,k]: flatten rows -> one batched GEMM
         Np, Pp = J.shape[0], J.shape[1]
@@ -1200,7 +1247,12 @@ class PhysicsEngine:
         # scan (SimParams.solver_rows_bf16): multiplies are bf16 at DEFAULT
         # precision either way, accumulation stays f32 via
         # preferred_element_type.
-        row_t = jnp.bfloat16 if pr.solver_rows_bf16 else qd.dtype
+        rows_bf16 = pr.solver_rows_bf16
+        if rows_bf16 is None:
+            # auto: bf16 pays once the (post-compaction) row working set makes
+            # the iteration loop HBM-bound
+            rows_bf16 = J.shape[1] * self.nv >= 1024
+        row_t = jnp.bfloat16 if rows_bf16 else qd.dtype
 
         def matvec(A, x):  # (N, R, nv) x (N, nv) -> (N, R)
             return jax.lax.dot_general(
@@ -1263,7 +1315,8 @@ class PhysicsEngine:
             # scatter compacted impulses back to the static row set via the
             # transposed selection matmul (top_k rows are unique one-hots)
             lam = jax.lax.dot_general(
-                sel, lam, (((1,), (1,)), ((0,), (0,))), precision=_SOLVER)
+                sel, lam, (((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)
         # world-frame impulse vectors per row (ground rows are world-aligned)
         if self.pairs:
             kg = lam.shape[1] - frame.shape[1]
