@@ -30,7 +30,7 @@ collapses into pure-function state threading.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +101,13 @@ class SimParams(NamedTuple):
     # while #active <= K; see _contact_solve.  Set from the task sim config
     # (sim.physx.contact_capacity).
     contact_capacity: Optional[int] = None
+    # contact warm starting (the PhysX persistent-contact warm-start analog):
+    # seed each substep's Jacobi solve with this fraction of the previous
+    # substep's converged impulses, carried in SimState.lam and zeroed on env
+    # reset.  Persistent contacts (a standing Ant's feet) then need far fewer
+    # iterations to reconverge, so num_iterations can drop.  0.0 = cold start
+    # (bitwise-identical to the pre-warm-start build).
+    warm_start: float = 0.0
 
 
 class Control(NamedTuple):
@@ -123,6 +130,12 @@ class Control(NamedTuple):
 class SimState(NamedTuple):
     q: jax.Array    # (N, nq)
     qd: jax.Array   # (N, nv)
+    # contact warm-start impulses (SimParams.warm_start > 0):
+    # (lam_rows (N, P, 3) row-frame, lam_lo (N, nv), lam_hi (N, nv)).
+    # None when warm starting is off or the scene has no contact rows; tasks
+    # that rebuild SimState(q, qd) drop it, and VecTaskBase.step restores it
+    # (zeroed for resetting envs) so the carried pytree structure is stable.
+    lam: Any = None
 
 
 class SimOutput(NamedTuple):
@@ -657,7 +670,7 @@ class PhysicsEngine:
     # ------------------------------------------------------------------
     # substep
     def substep(self, q, qd, ctrl: Control, terrain=None, phys=None,
-                dyn_cache=None):
+                dyn_cache=None, warm=None):
         # dyn_cache: optional (I_O, M, Hinv) from an earlier substep of the
         # same control step.  The mass-matrix chain varies O(h*qd) within a
         # control step, so reusing it (PhysX evaluates articulation inertia
@@ -758,12 +771,13 @@ class PhysicsEngine:
         # ---------------- unilateral constraints (contacts + joint limits)
         impulse_pts = None
         imp_dof = jnp.zeros_like(qd_new)
+        warm_out = None
         if (self.ground and self.n_ground) or self.pairs or self.grabs:
-            qd_new, impulse_pts, p_w, imp_dof = self._contact_solve(
+            qd_new, impulse_pts, p_w, imp_dof, warm_out = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain,
                 None if phys is None else phys.friction,
                 grab_active=ctrl.grab_active, shape_scale=shape_scale,
-                hinv_bl=cache_out[2] if use_kernel else None)
+                hinv_bl=cache_out[2] if use_kernel else None, warm=warm)
         else:
             qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
             p_w = None
@@ -775,7 +789,7 @@ class PhysicsEngine:
         # ---------------- integrate
         q_new = self._integrate(q, qd_new)
         return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w,
-                               imp_dof, cache_out)
+                               imp_dof, cache_out, warm_out)
 
     @staticmethod
     def _sdf_local(gtype: int, size, p):
@@ -1000,12 +1014,19 @@ class PhysicsEngine:
 
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
                        friction_scale=None, grab_active=None,
-                       shape_scale=None, hinv_bl=None):
+                       shape_scale=None, hinv_bl=None, warm=None):
         """Projected-Jacobi impulse solve for plane contacts + joint limits.
 
         ``hinv_bl``: optional batch-last H^-1 from the dynamics kernel — its
         presence (plus contact_kernel.supports) routes the solve through the
-        fused batch-lane Pallas kernel; geometry/narrowphase stays here."""
+        fused batch-lane Pallas kernel; geometry/narrowphase stays here.
+
+        ``warm``: optional ``(lam_rows (N, P, 3), lam_lo (N, nv),
+        lam_hi (N, nv))`` from the previous substep (SimParams.warm_start).
+        The iteration starts from these impulses (masked to currently-active
+        rows) with the matching velocity offset applied once up front, so the
+        fixed point is unchanged but persistent contacts reconverge in far
+        fewer iterations.  A fifth return value carries the new warm tuple."""
         pr = self.params
         h = self.h
         from . import contact_kernel as ck
@@ -1018,6 +1039,9 @@ class PhysicsEngine:
         # kernel path for parity on CPU.
         from . import dyn_kernel as dk
         kernel_on = pr.use_contact_kernel or dk._FORCE_INTERPRET
+        # the experimental fused kernel has no warm-start input; warm scenes
+        # stay on the XLA loop (kernel is default-off anyway)
+        kernel_on = kernel_on and not (warm is not None and pr.warm_start > 0)
         use_kernel = (kernel_on and hinv_bl is not None
                       and n_ground + self.n_pair_rows > 0
                       and ck.supports(
@@ -1228,7 +1252,7 @@ class PhysicsEngine:
                              if kg else lam_pairs_w)
             else:
                 imp_world = lam_k
-            return qd, imp_world, p, imp_dof
+            return qd, imp_world, p, imp_dof, None
 
         relax = pr.relaxation
 
@@ -1271,6 +1295,22 @@ class PhysicsEngine:
             gJr, gHJr = flat_rows(g_J).astype(row_t), flat_rows(g_HJ).astype(row_t)
         if att_J is not None:
             aJr, aHJr = flat_rows(att_J).astype(row_t), flat_rows(att_HJ).astype(row_t)
+
+        ws = float(pr.warm_start)
+        if warm is not None and ws > 0.0:
+            # seed from the previous substep's impulses on still-active rows
+            # and apply their velocity contribution once up front — the loop
+            # then only has to correct the (small) step-to-step change
+            w_rows, w_lo, w_hi = warm
+            if sel is not None:
+                w_rows = jax.lax.dot_general(
+                    sel, w_rows, (((2,), (1,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST)
+            lam = jnp.where(active[..., None], ws * w_rows.astype(qd.dtype), 0.0)
+            lam_lo = jnp.where(act_lo, ws * w_lo, 0.0)
+            lam_hi = jnp.where(act_hi, ws * w_hi, 0.0)
+            qd = qd + matvec_T(lam.reshape(N, -1), HJr) \
+                + matvec(Hinv_r, lam_lo - lam_hi)
 
         def body_fn(carry, _):
             qd_c, lam, lam_lo, lam_hi, lam_att, lam_g = carry
@@ -1325,7 +1365,11 @@ class PhysicsEngine:
                 if kg else lam_pairs_w
         else:
             imp_world = lam
-        return qd, imp_world, p, imp_dof
+        warm_out = None
+        if warm is not None and ws > 0.0:
+            # row-frame impulses at full candidate rows (post scatter-back)
+            warm_out = (lam, lam_lo, lam_hi)
+        return qd, imp_world, p, imp_dof, warm_out
 
     def _limit_solve(self, qd, Hinv, qpos_dof):
         """Joint-limit-only solve for contact-free scenes (e.g. Cartpole)."""
@@ -1395,15 +1439,18 @@ class PhysicsEngine:
         imp_dof_accum = jnp.zeros_like(qd)
         aux = None
         cache = None
+        warm = state.lam if self.params.warm_start > 0 else None
         for _ in range(self.params.substeps):
             q, qd, aux = self.substep(q, qd, ctrl, terrain, phys,
-                                      dyn_cache=cache)
+                                      dyn_cache=cache, warm=warm)
             if self.params.reuse_mass_matrix:
                 cache = aux[7]
+            if aux[8] is not None:
+                warm = aux[8]
             if aux[4] is not None:
                 impulse_accum = aux[4] if impulse_accum is None else impulse_accum + aux[4]
             imp_dof_accum = imp_dof_accum + aux[6]
-        body_x, body_q, V, qdd, _, p_w, _, _ = aux
+        body_x, body_q, V, qdd, _, p_w, _, _, _ = aux
         # refresh kinematic outputs at the *new* state
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)
@@ -1411,7 +1458,8 @@ class PhysicsEngine:
         dof_force = ctrl.tau + imp_dof_accum / self.params.dt
         out = self._outputs(q, qd, body_x, body_q, V, qdd, impulse_accum, p_w,
                             dof_force)
-        return SimState(q, qd), out
+        lam_out = warm if self.params.warm_start > 0 else state.lam
+        return SimState(q, qd, lam_out), out
 
     def _outputs(self, q, qd, body_x, body_q, V, qdd, impulses, p_w, dof_force=None):
         N = q.shape[0]
@@ -1536,7 +1584,17 @@ class PhysicsEngine:
         q0 = jnp.asarray(md.default_qpos(self.model), jnp.float32)
         q = jnp.tile(q0[None], (num_envs, 1))
         qd = jnp.zeros((num_envs, self.nv), jnp.float32)
-        return SimState(q, qd)
+        return SimState(q, qd, self.zero_warm(num_envs))
+
+    def zero_warm(self, num_envs: int):
+        """Cold-start warm-start impulses (SimState.lam) — zeros when
+        SimParams.warm_start is enabled and the scene has contact rows."""
+        n_rows = (self.n_ground if self.ground else 0) + self.n_pair_rows
+        if self.params.warm_start <= 0 or n_rows == 0:
+            return None
+        return (jnp.zeros((num_envs, n_rows, 3), jnp.float32),
+                jnp.zeros((num_envs, self.nv), jnp.float32),
+                jnp.zeros((num_envs, self.nv), jnp.float32))
 
     def dof_pos(self, state: SimState):
         """Scalar-dof positions (N, n_scalar_dofs) — the dof_state pos view."""

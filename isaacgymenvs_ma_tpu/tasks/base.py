@@ -60,7 +60,14 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         dt=float(sim_cfg.get("dt", 1.0 / 60.0)),
         substeps=int(sim_cfg.get("substeps", 2)),
         gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
-        num_iterations=max(2 * n_iter, 8),
+        # explicit per-task override wins; otherwise 2x the PhysX iteration
+        # budget (our Jacobi steps are weaker than TGS sub-iterations)
+        num_iterations=(int(physx["num_iterations"])
+                        if "num_iterations" in physx
+                        else max(2 * n_iter, 8)),
+        # contact warm starting (PhysX persistent-contact analog): fraction
+        # of the previous substep's impulses used to seed the solve
+        warm_start=float(physx.get("warm_start", 0.0)),
         max_depenetration_velocity=float(
             physx.get("max_depenetration_velocity", 10.0)),
         # reuse the mass-matrix chain across substeps (IGMA_MM_REUSE=0 opts
@@ -201,6 +208,7 @@ class VecTaskBase:
             state = state._replace(phys=phys)
         if self.reset_in_pre_physics:
             sim, task = self.reset_idx(state.sim, state.task, reset_mask, k_reset)
+            sim = self._restore_lam(sim, state.sim.lam, reset_mask)
             state = state._replace(sim=sim, task=task)
 
         ctrl = self.pre_physics(state, actions)
@@ -220,16 +228,21 @@ class VecTaskBase:
         unhealthy = (~jnp.isfinite(sim.q).all(axis=-1)
                      | ~jnp.isfinite(sim.qd).all(axis=-1)
                      | (jnp.abs(sim.qd).max(axis=-1) > 500.0))
-        sim = SimState(
-            jnp.where(unhealthy[:, None], jnp.nan_to_num(sim.q), sim.q),
-            jnp.where(unhealthy[:, None],
-                      jnp.clip(jnp.nan_to_num(sim.qd), -500.0, 500.0), sim.qd))
+        sim = sim._replace(
+            q=jnp.where(unhealthy[:, None], jnp.nan_to_num(sim.q), sim.q),
+            qd=jnp.where(unhealthy[:, None],
+                         jnp.clip(jnp.nan_to_num(sim.qd), -500.0, 500.0),
+                         sim.qd))
 
         # ---- post physics (ant.py:287-297 ordering) ----
         progress = state.progress + 1
         task = state.task
+        lam_cur = sim.lam
         if not self.reset_in_pre_physics:
             sim, task = self.reset_idx(sim, task, reset_mask, k_reset)
+            sim = self._restore_lam(sim, lam_cur, reset_mask | unhealthy)
+        else:
+            sim = self._restore_lam(sim, lam_cur, unhealthy)
         progress = jnp.where(reset_mask, 0, progress)
         # refresh readouts so reset envs observe their fresh state
         out = self.engine.forward(sim, prev_out=out)
@@ -262,6 +275,20 @@ class VecTaskBase:
                              rng=key, task=task, phys=state.phys)
         return new_state, StepResult(obs=obs, states=states, rew=rew,
                                      reset=self._to_batch(reset), extras=extras)
+
+    def _restore_lam(self, sim: SimState, lam_prev, zero_mask: jax.Array):
+        """Re-attach warm-start impulses after a task's ``reset_idx`` rebuilt
+        ``SimState(q, qd)`` (dropping ``lam``), zeroing them for envs that
+        reset — a fresh env has no persistent contacts.  Keeps the carried
+        pytree structure stable under scan."""
+        if lam_prev is None:
+            return sim
+        if sim.lam is not None:
+            lam_prev = sim.lam
+        lam = tuple(
+            jnp.where(zero_mask.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x)
+            for x in lam_prev)
+        return sim._replace(lam=lam)
 
     def _to_batch(self, per_env: jax.Array) -> jax.Array:
         """Expand per-env values to per-actor rows for MA tasks.
