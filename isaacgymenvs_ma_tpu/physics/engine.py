@@ -1049,7 +1049,8 @@ class PhysicsEngine:
                           n_ground + self.n_pair_rows,
                           len(self.attractors), len(self.grabs),
                           bool(self.pairs)))
-        # ---- ground rows
+        # ---- ground rows (positions/phis only; Jacobians are built *after*
+        # active-set compaction so only the surviving K rows pay the J cost)
         if terrain is not None and self.n_ground != self.n_pts:
             raise ValueError(
                 "ground-candidate pruning assumed a flat z=0 plane, but this "
@@ -1057,8 +1058,7 @@ class PhysicsEngine:
                 "candidates on a fixed-base tree; rebuild the engine without "
                 "fixed-base trees or disable pruning for this scene")
         if self.ground and n_ground:
-            p, J = self._contact_point_jacobian(body_x, body_q, S,
-                                                shape_scale)
+            p = self._contact_points(body_x, body_q, shape_scale)
             if terrain is None:
                 ground_z = jnp.zeros(p.shape[:-1], p.dtype)
             else:
@@ -1071,8 +1071,11 @@ class PhysicsEngine:
             if friction_scale is not None:
                 mu = mu * friction_scale
         else:
-            p = J = phi = mu = None
-        # ---- body-pair rows (frame-projected)
+            p = phi = mu = None
+        # ---- body-pair rows: contact frames stay separate from J — the loop
+        # rotates 3-vectors into the row frame each iteration instead of
+        # frame-projecting whole (nv, 3) Jacobians once (the einsum lowers to
+        # ~1M tiny (nv,3)x(3,3) matmuls and dominated the hand-scene substep)
         frames_all = None
         if self.pairs:
             pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q,
@@ -1080,17 +1083,11 @@ class PhysicsEngine:
             if friction_scale is not None:
                 pmu = pmu * friction_scale  # per-env DR friction, as on ground
             frame = self._tangent_frame(pn)                    # (N, K, 3, 3)
-            S_ang = S[:, None, :, 0:3]
-            S_lin = S[:, None, :, 3:6]
-            Jp = S_lin + _cross(S_ang, pp[:, :, None, :])
-            Jp = Jp * pmask[None, :, :, None]      # pmask is (K, nv) signed
-            Jp = jnp.einsum("nkvc,nkcl->nkvl", Jp, frame)
             if phi is None:
-                p, J, phi, mu = pp, Jp, pphi, pmu
+                p, phi, mu = pp, pphi, pmu
                 frames_all = frame
             else:
                 p = jnp.concatenate([p, pp], 1)
-                J = jnp.concatenate([J, Jp], 1)
                 # mu is (rows,) normally but per-env (N, rows) when DR scales
                 # friction — normalize both parts before concatenating
                 mu_g = jnp.broadcast_to(mu, phi.shape) if mu.ndim == 1 else mu
@@ -1107,7 +1104,6 @@ class PhysicsEngine:
             # pairs): run the loop with an empty contact-row set
             N0 = qd.shape[0]
             p = jnp.zeros((N0, 0, 3), qd.dtype)
-            J = jnp.zeros((N0, 0, self.nv, 3), qd.dtype)
             phi = jnp.zeros((N0, 0), qd.dtype)
             mu = jnp.zeros((N0, 0), qd.dtype)
         active = phi < 0.0
@@ -1125,22 +1121,74 @@ class PhysicsEngine:
         act_lo = lim_mask & (lo_gap < 0.0)
         act_hi = lim_mask & (hi_gap < 0.0)
 
+        hinv_diag = jnp.maximum(jnp.einsum("nvv->nv", Hinv), 1e-8)
+        N = qd.shape[0]
+        nv = self.nv
+        P_all = phi.shape[1]
+        masks_static = (jnp.asarray(self._row_masks_np())
+                        if P_all else jnp.zeros((0, nv), qd.dtype))
+
+        def _build_J_flat(p_rows, mk):
+            """World-frame contact Jacobian, built directly in the flat
+            (N, 3R, nv) layout the solver consumes.  The natural
+            (N, R, nv, 3) stack pads its (nv, 3) minor dims to (8+, 128)
+            vector tiles on TPU — ~42x the payload in HBM traffic — so the
+            three world components are built as (N, R, nv) planes instead.
+            ``mk``: dof mask, static (R, nv) or per-env (N, R, nv)."""
+            if mk.ndim == 2:
+                mk = mk[None]
+            Sa = S[:, :, 0:3]                                  # (N, nv, 3)
+            Sl = S[:, :, 3:6]
+            px = p_rows[..., 0][:, :, None]                    # (N, R, 1)
+            py = p_rows[..., 1][:, :, None]
+            pz = p_rows[..., 2][:, :, None]
+            sax = Sa[..., 0][:, None, :]                       # (N, 1, nv)
+            say = Sa[..., 1][:, None, :]
+            saz = Sa[..., 2][:, None, :]
+            # (S_ang x p) per world axis
+            Jx = (Sl[..., 0][:, None, :] + say * pz - saz * py) * mk
+            Jy = (Sl[..., 1][:, None, :] + saz * px - sax * pz) * mk
+            Jz = (Sl[..., 2][:, None, :] + sax * py - say * px) * mk
+            R = p_rows.shape[1]
+            return jnp.stack([Jx, Jy, Jz], axis=2).reshape(N, 3 * R, nv)
+
+        if use_kernel:
+            # fused-kernel path: frame-projected (N, P, nv, 3) rows as the
+            # kernel expects (default-off; exercised by interpret-mode tests)
+            J = (jnp.swapaxes(_build_J_flat(p, masks_static)
+                              .reshape(N, P_all, 3, nv), 2, 3)
+                 if P_all else jnp.zeros((N, 0, nv, 3), qd.dtype))
+            if frames_all is not None:
+                J = jnp.einsum("nkvc,nkcl->nkvl", J, frames_all)
+            Np, Pp = J.shape[0], J.shape[1]
+            J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, nv)
+            HinvJ_rows = jax.lax.dot_general(
+                J_rows, Hinv, (((2,), (1,)), ((0,), (0,))),
+                precision=_SOLVER)
+            HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, nv), 2, 3)
+            w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)
+
         # Active-set compaction (the PhysX generated-contacts /
         # max_gpu_contact_pairs analog, cfg/task/Ant.yaml:58): the candidate
         # row set is static for XLA, but only rows near contact carry
-        # impulses.  Gather the K deepest rows per env and run the GEMMs and
-        # the whole iteration loop on (N, K, ...) instead of (N, P, ...) —
-        # exactly equivalent whenever #active <= K (inactive rows contribute
-        # zero), deepest-K capping beyond, like PhysX's contact buffer.
+        # impulses.  Gather the K deepest rows per env *before any Jacobian
+        # exists* — row positions/frames/masks are small (N, P, <=9) arrays —
+        # then build J, the GEMMs, and the whole iteration loop at (N, K, ...)
+        # instead of (N, P, ...).  Exactly equivalent whenever #active <= K
+        # (inactive rows contribute zero), deepest-K capping beyond, like
+        # PhysX's contact buffer.
         sel = None
+        frames_rows = frames_all
+        p_rows = p
+        masks_rows = masks_static
         K = pr.contact_capacity
-        if K is not None and not use_kernel and phi.shape[1] > K:
+        if K is not None and not use_kernel and P_all > K:
             _, idx = jax.lax.top_k(-phi, K)                    # (N, K)
             # gather as one-hot GEMMs: XLA lowers batched gather/scatter HLOs
             # into dynamic-slice loops on TPU (measured 2.6x SLOWER overall
             # with take_along_axis); a (K, P) selection matmul rides the MXU
             sel = (idx[:, :, None] ==
-                   jnp.arange(phi.shape[1])[None, None, :]).astype(qd.dtype)
+                   jnp.arange(P_all)[None, None, :]).astype(qd.dtype)
             # HIGHEST: selection by an exact one-hot must not round the
             # selected f32 values to bf16 (DEFAULT-precision multiplies do)
             take = lambda x: jax.lax.dot_general(
@@ -1149,23 +1197,43 @@ class PhysicsEngine:
             b_n = take(b_n)
             mu = take(jnp.broadcast_to(mu, phi.shape))
             active = take(active.astype(qd.dtype)) > 0.5
-            NJ = J.shape[0]
-            J = jax.lax.dot_general(
-                sel, J.reshape(NJ, -1, self.nv * 3),
-                (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST).reshape(NJ, K, self.nv, 3)
+            p_rows = take(p.reshape(N, P_all, 3))
+            masks_rows = take(jnp.broadcast_to(
+                masks_static[None], (N, P_all, nv)))
+            if frames_rows is not None:
+                frames_rows = take(
+                    frames_rows.reshape(N, P_all, 9)).reshape(N, K, 3, 3)
 
-        # HinvJ[n,p,:,k] = Hinv @ J[n,p,:,k]: flatten rows -> one batched GEMM
-        Np, Pp = J.shape[0], J.shape[1]
-        J_rows = jnp.swapaxes(J, 2, 3).reshape(Np, Pp * 3, self.nv)
-        HinvJ_rows = jax.lax.dot_general(
-            J_rows, Hinv, (((2,), (1,)), ((0,), (0,))),
-            precision=_SOLVER)                                      # (N, P*3, nv)
-        HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, self.nv), 2, 3)
-        w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)  # (N, P, 3)
-        hinv_diag = jnp.maximum(jnp.einsum("nvv->nv", Hinv), 1e-8)
+        R_rows = p_rows.shape[1] if not use_kernel else P_all
+        if not use_kernel:
+            J_flat = _build_J_flat(p_rows, masks_rows)          # (N, 3R, nv)
+            HinvJ_flat = jax.lax.dot_general(
+                J_flat, Hinv, (((2,), (1,)), ((0,), (0,))),
+                precision=_SOLVER)                              # (N, 3R, nv)
+            if frames_rows is None:
+                # world-aligned rows: per-axis Delassus diagonal directly
+                w_diag = jnp.maximum(
+                    jnp.sum(J_flat * HinvJ_flat, axis=-1)
+                    .reshape(N, R_rows, 3), 1e-8)
+            else:
+                # w_l = f_l^T (J Hinv J^T)_row f_l per row-frame axis l,
+                # written as explicit 3-term component sums: einsum over the
+                # size-3 axes lowers to ~N*K tiny batched matmuls on TPU
+                J3 = J_flat.reshape(N, R_rows, 3, nv)
+                HJ3 = HinvJ_flat.reshape(N, R_rows, 3, nv)
+                w_cols = []
+                for l in range(3):
+                    fl = frames_rows[..., l]                   # (N, R, 3)
+                    Jf = (fl[..., 0, None] * J3[:, :, 0]
+                          + fl[..., 1, None] * J3[:, :, 1]
+                          + fl[..., 2, None] * J3[:, :, 2])    # (N, R, nv)
+                    HJf = (fl[..., 0, None] * HJ3[:, :, 0]
+                           + fl[..., 1, None] * HJ3[:, :, 1]
+                           + fl[..., 2, None] * HJ3[:, :, 2])
+                    w_cols.append(jnp.sum(Jf * HJf, -1))
+                w_diag = jnp.maximum(jnp.stack(w_cols, -1), 1e-8)
 
-        lam = jnp.zeros(J.shape[:2] + (3,), qd.dtype)
+        lam = jnp.zeros((N, R_rows, 3), qd.dtype)
         lam_lo = jnp.zeros_like(qd)
         lam_hi = jnp.zeros_like(qd)
 
@@ -1256,13 +1324,12 @@ class PhysicsEngine:
 
         relax = pr.relaxation
 
-        # flatten row-axis Jacobians to (N, C*3, nv) so the per-iteration
-        # matvecs lower as batched dot_generals — einsum over (npvk, nv)
-        # otherwise materializes (N, P, nv, 3) broadcast intermediates every
-        # iteration (the dominant HBM cost of the whole substep).
-        N = qd.shape[0]
-        P = J.shape[1]
-        nv = self.nv
+        # Row Jacobians live in the flat (N, C*3, nv) layout so the
+        # per-iteration matvecs lower as batched dot_generals — einsum over
+        # (npvk, nv) otherwise materializes (N, P, nv, 3) broadcast
+        # intermediates every iteration (the dominant HBM cost of the whole
+        # substep).
+        P = R_rows
 
         def flat_rows(x):  # (N, C, nv, 3) -> (N, C*3, nv)
             return jnp.swapaxes(x, 2, 3).reshape(N, -1, nv)
@@ -1275,7 +1342,7 @@ class PhysicsEngine:
         if rows_bf16 is None:
             # auto: bf16 pays once the (post-compaction) row working set makes
             # the iteration loop HBM-bound
-            rows_bf16 = J.shape[1] * self.nv >= 1024
+            rows_bf16 = R_rows * self.nv >= 1024
         row_t = jnp.bfloat16 if rows_bf16 else qd.dtype
 
         def matvec(A, x):  # (N, R, nv) x (N, nv) -> (N, R)
@@ -1288,13 +1355,30 @@ class PhysicsEngine:
                 x.astype(A.dtype), A, (((1,), (1,)), ((0,), (0,))),
                 precision=_SOLVER, preferred_element_type=qd.dtype)
 
-        Jr = flat_rows(J).astype(row_t)
-        HJr = flat_rows(HinvJ).astype(row_t)
+        Jr = J_flat.astype(row_t)
+        HJr = HinvJ_flat.astype(row_t)
         Hinv_r = Hinv.astype(row_t)
         if g_J is not None:
             gJr, gHJr = flat_rows(g_J).astype(row_t), flat_rows(g_HJ).astype(row_t)
         if att_J is not None:
             aJr, aHJr = flat_rows(att_J).astype(row_t), flat_rows(att_HJ).astype(row_t)
+
+        # lam is carried in row-frame coordinates; J stays world-frame, so
+        # impulse/velocity transfers rotate the (N, P, 3) vectors instead
+        # (identity when every row is world-aligned).  Explicit component
+        # sums, not einsum — see the w_diag note above.
+        if frames_rows is None:
+            to_world = to_frame = lambda v: v
+        else:
+            def to_world(v):   # v (N, P, 3) row-frame -> world
+                return (frames_rows[..., :, 0] * v[..., 0, None]
+                        + frames_rows[..., :, 1] * v[..., 1, None]
+                        + frames_rows[..., :, 2] * v[..., 2, None])
+
+            def to_frame(v):   # v (N, P, 3) world -> row-frame
+                return jnp.stack(
+                    [jnp.sum(frames_rows[..., l] * v, -1) for l in range(3)],
+                    axis=-1)
 
         ws = float(pr.warm_start)
         if warm is not None and ws > 0.0:
@@ -1309,7 +1393,7 @@ class PhysicsEngine:
             lam = jnp.where(active[..., None], ws * w_rows.astype(qd.dtype), 0.0)
             lam_lo = jnp.where(act_lo, ws * w_lo, 0.0)
             lam_hi = jnp.where(act_hi, ws * w_hi, 0.0)
-            qd = qd + matvec_T(lam.reshape(N, -1), HJr) \
+            qd = qd + matvec_T(to_world(lam).reshape(N, -1), HJr) \
                 + matvec(Hinv_r, lam_lo - lam_hi)
 
         def body_fn(carry, _):
@@ -1324,7 +1408,7 @@ class PhysicsEngine:
                 dl_att = relax * (att_b - v_att) / att_W
                 lam_att = lam_att + dl_att
                 qd_c = qd_c + matvec_T(dl_att.reshape(N, -1), aHJr)
-            v_c = matvec(Jr, qd_c).reshape(N, P, 3)
+            v_c = to_frame(matvec(Jr, qd_c).reshape(N, P, 3))
             # normal
             dv_n = b_n - v_c[..., 2]
             lam_n_new = jnp.maximum(lam[..., 2] + relax * dv_n / w_diag[..., 2], 0.0)
@@ -1335,7 +1419,7 @@ class PhysicsEngine:
             lam_t2 = jnp.clip(lam[..., 1] + relax * (-v_c[..., 1]) / w_diag[..., 1], -max_f, max_f)
             lam_new = jnp.stack([lam_t1, lam_t2, lam_n_new], axis=-1)
             lam_new = jnp.where(active[..., None], lam_new, 0.0)
-            dlam = lam_new - lam
+            dlam = to_world(lam_new - lam)
             dqd = matvec_T(dlam.reshape(N, -1), HJr)
             # joint limits (J = e_i): lower pushes +, upper pushes -
             qd_c2 = qd_c + dqd
@@ -1350,21 +1434,18 @@ class PhysicsEngine:
         (qd, lam, lam_lo, lam_hi, lam_att, lam_g), _ = jax.lax.scan(
             body_fn, (qd, lam, lam_lo, lam_hi, lam_att, lam_g), None,
             length=self.params.num_iterations)
-        imp_dof = matvec_T(lam.reshape(N, -1), Jr) + (lam_lo - lam_hi)
+        lam_w = to_world(lam)                  # world-frame impulse vectors
+        imp_dof = matvec_T(lam_w.reshape(N, -1), Jr) + (lam_lo - lam_hi)
         if sel is not None:
             # scatter compacted impulses back to the static row set via the
             # transposed selection matmul (top_k rows are unique one-hots)
-            lam = jax.lax.dot_general(
-                sel, lam, (((1,), (1,)), ((0,), (0,))),
+            scatter = lambda x: jax.lax.dot_general(
+                sel, x, (((1,), (1,)), ((0,), (0,))),
                 precision=jax.lax.Precision.HIGHEST)
-        # world-frame impulse vectors per row (ground rows are world-aligned)
-        if self.pairs:
-            kg = lam.shape[1] - frame.shape[1]
-            lam_pairs_w = jnp.einsum("nkcl,nkl->nkc", frame, lam[:, kg:])
-            imp_world = jnp.concatenate([lam[:, :kg], lam_pairs_w], 1) \
-                if kg else lam_pairs_w
+            lam = scatter(lam)
+            imp_world = scatter(lam_w)
         else:
-            imp_world = lam
+            imp_world = lam_w
         warm_out = None
         if warm is not None and ws > 0.0:
             # row-frame impulses at full candidate rows (post scatter-back)
