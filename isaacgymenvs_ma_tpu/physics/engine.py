@@ -101,6 +101,26 @@ class SimParams(NamedTuple):
     # while #active <= K; see _contact_solve.  Set from the task sim config
     # (sim.physx.contact_capacity).
     contact_capacity: Optional[int] = None
+    # build the contact row set (narrowphase, active-set selection, Jacobians,
+    # Delassus diagonals, frames) once per control step and reuse it across
+    # substeps — the PhysX model exactly: contact generation runs once per
+    # step and TGS substeps iterate on the same contact set with penetration
+    # tracked geometrically.  Penetrations advance by h * (relative normal
+    # velocity) through the cached Jacobian (terrain rows re-sample the
+    # heightfield at advanced positions), and each substep's impulses warm
+    # the next.  O(h*qd) row drift, same order as reuse_mass_matrix.
+    # Default OFF: measured on Ant/TPU it costs training quality (reward
+    # 3763/6279 -> ~2300/5767 at 150 epochs over two seeds — locomotion foot
+    # strikes are sensitive to one-substep-stale row geometry) for +8%
+    # throughput.  Manipulation scenes (persistent grasps, tiny relative
+    # velocities) enable it per task via sim.physx.reuse_contact_rows, where
+    # it removes ~1/2 of the contact-setup cost (ShadowHand 56 -> 42 ms).
+    reuse_contact_rows: bool = False
+    # with reuse_contact_rows: seed each later substep's iteration from the
+    # previous substep's converged impulses (the PhysX persistent-contact
+    # warm start within a step).  Ant quality evidence is mixed; grasping
+    # scenes keep it on.
+    contact_continuation: bool = True
     # contact warm starting (the PhysX persistent-contact warm-start analog):
     # seed each substep's Jacobi solve with this fraction of the previous
     # substep's converged impulses, carried in SimState.lam and zeroed on env
@@ -670,7 +690,7 @@ class PhysicsEngine:
     # ------------------------------------------------------------------
     # substep
     def substep(self, q, qd, ctrl: Control, terrain=None, phys=None,
-                dyn_cache=None, warm=None):
+                dyn_cache=None, warm=None, contact_cache=None):
         # dyn_cache: optional (I_O, M, Hinv) from an earlier substep of the
         # same control step.  The mass-matrix chain varies O(h*qd) within a
         # control step, so reusing it (PhysX evaluates articulation inertia
@@ -772,12 +792,15 @@ class PhysicsEngine:
         impulse_pts = None
         imp_dof = jnp.zeros_like(qd_new)
         warm_out = None
+        ccache_out = None
         if (self.ground and self.n_ground) or self.pairs or self.grabs:
-            qd_new, impulse_pts, p_w, imp_dof, warm_out = self._contact_solve(
+            (qd_new, impulse_pts, p_w, imp_dof, warm_out,
+             ccache_out) = self._contact_solve(
                 qd_new, body_x, body_q, S, Hinv, qpos_dof, terrain,
                 None if phys is None else phys.friction,
                 grab_active=ctrl.grab_active, shape_scale=shape_scale,
-                hinv_bl=cache_out[2] if use_kernel else None, warm=warm)
+                hinv_bl=cache_out[2] if use_kernel else None, warm=warm,
+                ccache=contact_cache, qd_geom=qd)
         else:
             qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
             p_w = None
@@ -789,7 +812,7 @@ class PhysicsEngine:
         # ---------------- integrate
         q_new = self._integrate(q, qd_new)
         return q_new, qd_new, (body_x, body_q, V, qdd, impulse_pts, p_w,
-                               imp_dof, cache_out, warm_out)
+                               imp_dof, cache_out, warm_out, ccache_out)
 
     @staticmethod
     def _sdf_local(gtype: int, size, p):
@@ -1012,9 +1035,35 @@ class PhysicsEngine:
         J = J * self.gnd_dof_mask.T[None, :, :, None]          # mask non-ancestor dofs
         return p, J
 
+    @staticmethod
+    def _w_diag(J_flat, HinvJ_flat, frames_rows, N, R_rows, nv):
+        """Per-axis Delassus diagonal (N, R, 3) in row-frame coordinates.
+
+        With frames: w_l = f_l^T (J Hinv J^T)_row f_l, written as explicit
+        3-term component sums — einsum over the size-3 axes lowers to ~N*K
+        tiny batched matmuls on TPU."""
+        if frames_rows is None:
+            return jnp.maximum(
+                jnp.sum(J_flat * HinvJ_flat, axis=-1).reshape(N, R_rows, 3),
+                1e-8)
+        J3 = J_flat.reshape(N, R_rows, 3, nv)
+        HJ3 = HinvJ_flat.reshape(N, R_rows, 3, nv)
+        w_cols = []
+        for l in range(3):
+            fl = frames_rows[..., l]                           # (N, R, 3)
+            Jf = (fl[..., 0, None] * J3[:, :, 0]
+                  + fl[..., 1, None] * J3[:, :, 1]
+                  + fl[..., 2, None] * J3[:, :, 2])            # (N, R, nv)
+            HJf = (fl[..., 0, None] * HJ3[:, :, 0]
+                   + fl[..., 1, None] * HJ3[:, :, 1]
+                   + fl[..., 2, None] * HJ3[:, :, 2])
+            w_cols.append(jnp.sum(Jf * HJf, -1))
+        return jnp.maximum(jnp.stack(w_cols, -1), 1e-8)
+
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
                        friction_scale=None, grab_active=None,
-                       shape_scale=None, hinv_bl=None, warm=None):
+                       shape_scale=None, hinv_bl=None, warm=None,
+                       ccache=None, qd_geom=None):
         """Projected-Jacobi impulse solve for plane contacts + joint limits.
 
         ``hinv_bl``: optional batch-last H^-1 from the dynamics kernel — its
@@ -1022,11 +1071,20 @@ class PhysicsEngine:
         fused batch-lane Pallas kernel; geometry/narrowphase stays here.
 
         ``warm``: optional ``(lam_rows (N, P, 3), lam_lo (N, nv),
-        lam_hi (N, nv))`` from the previous substep (SimParams.warm_start).
+        lam_hi (N, nv))`` from the previous step (SimParams.warm_start).
         The iteration starts from these impulses (masked to currently-active
         rows) with the matching velocity offset applied once up front, so the
         fixed point is unchanged but persistent contacts reconverge in far
-        fewer iterations.  A fifth return value carries the new warm tuple."""
+        fewer iterations.  A fifth return value carries the new warm tuple.
+
+        ``ccache``: contact-row cache from an earlier substep of the same
+        control step (SimParams.reuse_contact_rows — the PhysX
+        narrowphase-once-per-step model).  When present, the row set
+        (selection, Jacobians, Delassus diagonals, frames) is reused;
+        penetrations advance by ``h * J qd_geom`` (``qd_geom`` is the
+        velocity the previous substep integrated with) and the previous
+        substep's impulses seed the iteration.  A sixth return value carries
+        the cache."""
         pr = self.params
         h = self.h
         from . import contact_kernel as ck
@@ -1049,68 +1107,75 @@ class PhysicsEngine:
                           n_ground + self.n_pair_rows,
                           len(self.attractors), len(self.grabs),
                           bool(self.pairs)))
-        # ---- ground rows (positions/phis only; Jacobians are built *after*
-        # active-set compaction so only the surviving K rows pay the J cost)
-        if terrain is not None and self.n_ground != self.n_pts:
-            raise ValueError(
-                "ground-candidate pruning assumed a flat z=0 plane, but this "
-                "scene steps with a terrain heightfield and has pruned "
-                "candidates on a fixed-base tree; rebuild the engine without "
-                "fixed-base trees or disable pruning for this scene")
-        if self.ground and n_ground:
-            p = self._contact_points(body_x, body_q, shape_scale)
-            if terrain is None:
-                ground_z = jnp.zeros(p.shape[:-1], p.dtype)
+        # (substeps == 1: nothing to reuse — skip the cache-only gathers)
+        reuse_rows = (pr.reuse_contact_rows and not use_kernel
+                      and pr.substeps > 1)
+        if ccache is None:
+            # ---- ground rows (positions/phis only; Jacobians are built
+            # *after* active-set compaction so only the surviving K rows pay
+            # the J cost)
+            if terrain is not None and self.n_ground != self.n_pts:
+                raise ValueError(
+                    "ground-candidate pruning assumed a flat z=0 plane, but "
+                    "this scene steps with a terrain heightfield and has "
+                    "pruned candidates on a fixed-base tree; rebuild the "
+                    "engine without fixed-base trees or disable pruning for "
+                    "this scene")
+            if self.ground and n_ground:
+                p = self._contact_points(body_x, body_q, shape_scale)
+                if terrain is None:
+                    ground_z = jnp.zeros(p.shape[:-1], p.dtype)
+                else:
+                    ground_z = terrain.height_at(p[..., 0], p[..., 1])
+                rad = self.gnd_rad
+                if shape_scale is not None:
+                    rad = rad * jnp.mean(shape_scale[:, self.gnd_body], axis=-1)
+                phi = p[..., 2] - rad - ground_z                   # (N, P)
+                mu = self.gnd_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
+                if friction_scale is not None:
+                    mu = mu * friction_scale
             else:
-                ground_z = terrain.height_at(p[..., 0], p[..., 1])
-            rad = self.gnd_rad
-            if shape_scale is not None:
-                rad = rad * jnp.mean(shape_scale[:, self.gnd_body], axis=-1)
-            phi = p[..., 2] - rad - ground_z                   # (N, P)
-            mu = self.gnd_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
-            if friction_scale is not None:
-                mu = mu * friction_scale
-        else:
-            p = phi = mu = None
-        # ---- body-pair rows: contact frames stay separate from J — the loop
-        # rotates 3-vectors into the row frame each iteration instead of
-        # frame-projecting whole (nv, 3) Jacobians once (the einsum lowers to
-        # ~1M tiny (nv,3)x(3,3) matmuls and dominated the hand-scene substep)
-        frames_all = None
-        if self.pairs:
-            pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q,
-                                                       shape_scale)
-            if friction_scale is not None:
-                pmu = pmu * friction_scale  # per-env DR friction, as on ground
-            frame = self._tangent_frame(pn)                    # (N, K, 3, 3)
+                p = phi = mu = rad = None
+            # ---- body-pair rows: contact frames stay separate from J — the
+            # loop rotates 3-vectors into the row frame each iteration
+            # instead of frame-projecting whole (nv, 3) Jacobians once (the
+            # einsum lowers to ~1M tiny (nv,3)x(3,3) matmuls and dominated
+            # the hand-scene substep)
+            frames_all = None
+            if self.pairs:
+                pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q,
+                                                           shape_scale)
+                if friction_scale is not None:
+                    pmu = pmu * friction_scale  # per-env DR friction
+                frame = self._tangent_frame(pn)                # (N, K, 3, 3)
+                if phi is None:
+                    p, phi, mu = pp, pphi, pmu
+                    frames_all = frame
+                else:
+                    p = jnp.concatenate([p, pp], 1)
+                    # mu is (rows,) normally but per-env (N, rows) when DR
+                    # scales friction — normalize both before concatenating
+                    mu_g = jnp.broadcast_to(mu, phi.shape) if mu.ndim == 1 else mu
+                    mu_p = jnp.broadcast_to(pmu, pphi.shape) if pmu.ndim == 1 else pmu
+                    phi = jnp.concatenate([phi, pphi], 1)
+                    mu = jnp.concatenate([mu_g, mu_p], -1)
+                    # ground rows are world-aligned: identity frames
+                    eye_g = jnp.broadcast_to(
+                        jnp.eye(3, dtype=phi.dtype),
+                        (phi.shape[0], n_ground, 3, 3))
+                    frames_all = jnp.concatenate([eye_g, frame], 1)
             if phi is None:
-                p, phi, mu = pp, pphi, pmu
-                frames_all = frame
-            else:
-                p = jnp.concatenate([p, pp], 1)
-                # mu is (rows,) normally but per-env (N, rows) when DR scales
-                # friction — normalize both parts before concatenating
-                mu_g = jnp.broadcast_to(mu, phi.shape) if mu.ndim == 1 else mu
-                mu_p = jnp.broadcast_to(pmu, pphi.shape) if pmu.ndim == 1 else pmu
-                phi = jnp.concatenate([phi, pphi], 1)
-                mu = jnp.concatenate([mu_g, mu_p], -1)
-                # ground rows are world-aligned: identity frames
-                eye_g = jnp.broadcast_to(
-                    jnp.eye(3, dtype=phi.dtype),
-                    (phi.shape[0], n_ground, 3, 3))
-                frames_all = jnp.concatenate([eye_g, frame], 1)
-        if phi is None:
-            # grabs/attractors-only scene (every ground candidate pruned, no
-            # pairs): run the loop with an empty contact-row set
-            N0 = qd.shape[0]
-            p = jnp.zeros((N0, 0, 3), qd.dtype)
-            phi = jnp.zeros((N0, 0), qd.dtype)
-            mu = jnp.zeros((N0, 0), qd.dtype)
-        active = phi < 0.0
+                # grabs/attractors-only scene (every ground candidate pruned,
+                # no pairs): run the loop with an empty contact-row set
+                N0 = qd.shape[0]
+                p = jnp.zeros((N0, 0, 3), qd.dtype)
+                phi = jnp.zeros((N0, 0), qd.dtype)
+                mu = jnp.zeros((N0, 0), qd.dtype)
+            active = phi < 0.0
 
-        b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
-        # cap the push-out velocity (PhysX max_depenetration_velocity)
-        b_n = jnp.minimum(b_n, pr.max_depenetration_velocity)
+            b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
+            # cap the push-out velocity (PhysX max_depenetration_velocity)
+            b_n = jnp.minimum(b_n, pr.max_depenetration_velocity)
 
         # joint limit rows
         lo_gap = qpos_dof - self.dof_lower                     # >= 0 when inside
@@ -1124,9 +1189,10 @@ class PhysicsEngine:
         hinv_diag = jnp.maximum(jnp.einsum("nvv->nv", Hinv), 1e-8)
         N = qd.shape[0]
         nv = self.nv
-        P_all = phi.shape[1]
-        masks_static = (jnp.asarray(self._row_masks_np())
-                        if P_all else jnp.zeros((0, nv), qd.dtype))
+        if ccache is None:
+            P_all = phi.shape[1]
+            masks_static = (jnp.asarray(self._row_masks_np())
+                            if P_all else jnp.zeros((0, nv), qd.dtype))
 
         def _build_J_flat(p_rows, mk):
             """World-frame contact Jacobian, built directly in the flat
@@ -1168,74 +1234,125 @@ class PhysicsEngine:
             HinvJ = jnp.swapaxes(HinvJ_rows.reshape(Np, Pp, 3, nv), 2, 3)
             w_diag = jnp.maximum(jnp.sum(J * HinvJ, axis=2), 1e-8)
 
-        # Active-set compaction (the PhysX generated-contacts /
-        # max_gpu_contact_pairs analog, cfg/task/Ant.yaml:58): the candidate
-        # row set is static for XLA, but only rows near contact carry
-        # impulses.  Gather the K deepest rows per env *before any Jacobian
-        # exists* — row positions/frames/masks are small (N, P, <=9) arrays —
-        # then build J, the GEMMs, and the whole iteration loop at (N, K, ...)
-        # instead of (N, P, ...).  Exactly equivalent whenever #active <= K
-        # (inactive rows contribute zero), deepest-K capping beyond, like
-        # PhysX's contact buffer.
-        sel = None
-        frames_rows = frames_all
-        p_rows = p
-        masks_rows = masks_static
-        K = pr.contact_capacity
-        if K is not None and not use_kernel and P_all > K:
-            _, idx = jax.lax.top_k(-phi, K)                    # (N, K)
-            # gather as one-hot GEMMs: XLA lowers batched gather/scatter HLOs
-            # into dynamic-slice loops on TPU (measured 2.6x SLOWER overall
-            # with take_along_axis); a (K, P) selection matmul rides the MXU
-            sel = (idx[:, :, None] ==
-                   jnp.arange(P_all)[None, None, :]).astype(qd.dtype)
-            # HIGHEST: selection by an exact one-hot must not round the
-            # selected f32 values to bf16 (DEFAULT-precision multiplies do)
-            take = lambda x: jax.lax.dot_general(
-                sel, x, (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST)
-            b_n = take(b_n)
-            mu = take(jnp.broadcast_to(mu, phi.shape))
-            active = take(active.astype(qd.dtype)) > 0.5
-            p_rows = take(p.reshape(N, P_all, 3))
-            masks_rows = take(jnp.broadcast_to(
-                masks_static[None], (N, P_all, nv)))
-            if frames_rows is not None:
-                frames_rows = take(
-                    frames_rows.reshape(N, P_all, 9)).reshape(N, K, 3, 3)
-
-        R_rows = p_rows.shape[1] if not use_kernel else P_all
-        if not use_kernel:
-            J_flat = _build_J_flat(p_rows, masks_rows)          # (N, 3R, nv)
-            HinvJ_flat = jax.lax.dot_general(
-                J_flat, Hinv, (((2,), (1,)), ((0,), (0,))),
-                precision=_SOLVER)                              # (N, 3R, nv)
-            if frames_rows is None:
-                # world-aligned rows: per-axis Delassus diagonal directly
-                w_diag = jnp.maximum(
-                    jnp.sum(J_flat * HinvJ_flat, axis=-1)
-                    .reshape(N, R_rows, 3), 1e-8)
+        if ccache is None:
+            # Active-set compaction (the PhysX generated-contacts /
+            # max_gpu_contact_pairs analog, cfg/task/Ant.yaml:58): the
+            # candidate row set is static for XLA, but only rows near contact
+            # carry impulses.  Gather the K deepest rows per env *before any
+            # Jacobian exists* — row positions/frames/masks are small
+            # (N, P, <=9) arrays — then build J, the GEMMs, and the whole
+            # iteration loop at (N, K, ...) instead of (N, P, ...).  Exactly
+            # equivalent whenever #active <= K (inactive rows contribute
+            # zero), deepest-K capping beyond, like PhysX's contact buffer.
+            sel = None
+            frames_rows = frames_all
+            p_rows = p
+            masks_rows = masks_static
+            phi_rows = phi
+            is_gnd = jnp.asarray(
+                np.concatenate([np.ones(n_ground, np.float32),
+                                np.zeros(self.n_pair_rows, np.float32)])
+                if P_all else np.zeros(0, np.float32))
+            if reuse_rows and rad is not None:
+                rad_rows = jnp.concatenate([
+                    jnp.broadcast_to(rad, (N, n_ground)),
+                    jnp.zeros((N, self.n_pair_rows), qd.dtype)], 1)
             else:
-                # w_l = f_l^T (J Hinv J^T)_row f_l per row-frame axis l,
-                # written as explicit 3-term component sums: einsum over the
-                # size-3 axes lowers to ~N*K tiny batched matmuls on TPU
-                J3 = J_flat.reshape(N, R_rows, 3, nv)
-                HJ3 = HinvJ_flat.reshape(N, R_rows, 3, nv)
-                w_cols = []
-                for l in range(3):
-                    fl = frames_rows[..., l]                   # (N, R, 3)
-                    Jf = (fl[..., 0, None] * J3[:, :, 0]
-                          + fl[..., 1, None] * J3[:, :, 1]
-                          + fl[..., 2, None] * J3[:, :, 2])    # (N, R, nv)
-                    HJf = (fl[..., 0, None] * HJ3[:, :, 0]
-                           + fl[..., 1, None] * HJ3[:, :, 1]
-                           + fl[..., 2, None] * HJ3[:, :, 2])
-                    w_cols.append(jnp.sum(Jf * HJf, -1))
-                w_diag = jnp.maximum(jnp.stack(w_cols, -1), 1e-8)
+                rad_rows = jnp.zeros((N, P_all), qd.dtype) if reuse_rows else None
+            K = pr.contact_capacity
+            if K is not None and not use_kernel and P_all > K:
+                _, idx = jax.lax.top_k(-phi, K)                # (N, K)
+                # gather as one-hot GEMMs: XLA lowers batched gather/scatter
+                # HLOs into dynamic-slice loops on TPU (measured 2.6x SLOWER
+                # overall with take_along_axis); a (K, P) selection matmul
+                # rides the MXU
+                sel = (idx[:, :, None] ==
+                       jnp.arange(P_all)[None, None, :]).astype(qd.dtype)
+                # HIGHEST: selection by an exact one-hot must not round the
+                # selected f32 values to bf16 (DEFAULT-precision does)
+                take = lambda x: jax.lax.dot_general(
+                    sel, x, (((2,), (1,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST)
+                b_n = take(b_n)
+                mu = take(jnp.broadcast_to(mu, phi.shape))
+                active = take(active.astype(qd.dtype)) > 0.5
+                p_rows = take(p.reshape(N, P_all, 3))
+                # mask values are exactly 0/+-1 and sel is one-hot: the
+                # gather is exact even with bf16 operand rounding, so the
+                # (N, K, P)x(N, P, nv) GEMM can run single-pass DEFAULT
+                masks_rows = jax.lax.dot_general(
+                    sel, jnp.broadcast_to(masks_static[None], (N, P_all, nv)),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=qd.dtype)
+                phi_rows = take(phi)
+                if reuse_rows:
+                    is_gnd = take(jnp.broadcast_to(is_gnd, phi.shape))
+                    rad_rows = take(rad_rows)
+                if frames_rows is not None:
+                    frames_rows = take(
+                        frames_rows.reshape(N, P_all, 9)).reshape(N, K, 3, 3)
 
-        lam = jnp.zeros((N, R_rows, 3), qd.dtype)
-        lam_lo = jnp.zeros_like(qd)
-        lam_hi = jnp.zeros_like(qd)
+            R_rows = p_rows.shape[1] if not use_kernel else P_all
+            if not use_kernel:
+                J_flat = _build_J_flat(p_rows, masks_rows)      # (N, 3R, nv)
+                HinvJ_flat = jax.lax.dot_general(
+                    J_flat, Hinv, (((2,), (1,)), ((0,), (0,))),
+                    precision=_SOLVER)                          # (N, 3R, nv)
+                w_diag = self._w_diag(J_flat, HinvJ_flat, frames_rows,
+                                      N, R_rows, nv)
+            lam = jnp.zeros((N, R_rows, 3), qd.dtype)
+            lam_lo = jnp.zeros_like(qd)
+            lam_hi = jnp.zeros_like(qd)
+        else:
+            # ---- cached row set (later substeps of the same control step):
+            # reuse selection/Jacobians/Delassus/frames from the first
+            # substep; advance penetrations geometrically by the velocity the
+            # previous substep integrated with (qd_geom), and seed the
+            # iteration from its converged impulses.
+            cc = ccache
+            sel = cc["sel"]
+            J_flat = cc["J_flat"]
+            HinvJ_flat = cc["HinvJ_flat"]
+            w_diag = cc["w_diag"]
+            frames_rows = cc["frames_rows"]
+            mu = cc["mu"]
+            p = cc["p_full"]
+            p_rows = cc["p_rows"]
+            is_gnd = cc["is_gnd"]
+            rad_rows = cc["rad_rows"]
+            R_rows = p_rows.shape[1]
+            # relative world velocity of each row through the cached Jacobian
+            v3 = jax.lax.dot_general(
+                J_flat, qd_geom, (((2,), (1,)), ((0,), (0,))),
+                precision=_SOLVER).reshape(N, R_rows, 3)
+            if frames_rows is None:
+                v_n = v3[..., 2]
+            else:
+                v_n = jnp.sum(frames_rows[..., 2] * v3, -1)
+            phi_rows = cc["phi_rows"] + h * v_n
+            if terrain is not None:
+                # terrain rows re-sample the heightfield at the advanced
+                # positions (the normal-velocity advance misses slope
+                # advection under horizontal motion)
+                p_rows = p_rows + h * v3
+                gz = terrain.height_at(p_rows[..., 0], p_rows[..., 1])
+                phi_g = p_rows[..., 2] - rad_rows - gz
+                phi_rows = jnp.where(is_gnd > 0.5, phi_g, phi_rows)
+            active = phi_rows < 0.0
+            b_n = jnp.minimum(
+                -pr.baumgarte / h * jnp.minimum(phi_rows + pr.contact_slop, 0.0),
+                pr.max_depenetration_velocity)
+            # impulse continuation from the previous substep (masked to
+            # still-active rows; velocity offset applied after the loop
+            # helpers are defined below)
+            if pr.contact_continuation:
+                lam = jnp.where(active[..., None], cc["lam"], 0.0)
+                lam_lo = jnp.where(act_lo, cc["lam_lo"], 0.0)
+                lam_hi = jnp.where(act_hi, cc["lam_hi"], 0.0)
+            else:
+                lam = jnp.zeros((N, R_rows, 3), qd.dtype)
+                lam_lo = jnp.zeros_like(qd)
+                lam_hi = jnp.zeros_like(qd)
 
         if self.grabs:
             g_J, g_b, g_pts = [], [], []
@@ -1320,7 +1437,7 @@ class PhysicsEngine:
                              if kg else lam_pairs_w)
             else:
                 imp_world = lam_k
-            return qd, imp_world, p, imp_dof, None
+            return qd, imp_world, p, imp_dof, None, None
 
         relax = pr.relaxation
 
@@ -1381,10 +1498,16 @@ class PhysicsEngine:
                     axis=-1)
 
         ws = float(pr.warm_start)
-        if warm is not None and ws > 0.0:
-            # seed from the previous substep's impulses on still-active rows
-            # and apply their velocity contribution once up front — the loop
-            # then only has to correct the (small) step-to-step change
+        if ccache is not None and pr.contact_continuation:
+            # in-step impulse continuation (seeds set in the cached branch):
+            # apply their velocity contribution once up front — the loop then
+            # only has to correct the substep-to-substep change
+            qd = qd + matvec_T(to_world(lam).reshape(N, -1), HJr) \
+                + matvec(Hinv_r, lam_lo - lam_hi)
+        elif warm is not None and ws > 0.0:
+            # cross-step warm start (SimParams.warm_start): seed from the
+            # previous step's impulses on still-active rows, velocity offset
+            # applied the same way
             w_rows, w_lo, w_hi = warm
             if sel is not None:
                 w_rows = jax.lax.dot_general(
@@ -1436,6 +1559,17 @@ class PhysicsEngine:
             length=self.params.num_iterations)
         lam_w = to_world(lam)                  # world-frame impulse vectors
         imp_dof = matvec_T(lam_w.reshape(N, -1), Jr) + (lam_lo - lam_hi)
+        ccache_out = None
+        if reuse_rows:
+            if ccache is None:
+                ccache_out = dict(
+                    sel=sel, J_flat=J_flat, HinvJ_flat=HinvJ_flat,
+                    w_diag=w_diag, frames_rows=frames_rows, mu=mu,
+                    p_full=p, p_rows=p_rows, phi_rows=phi_rows,
+                    rad_rows=rad_rows, is_gnd=is_gnd)
+            else:
+                ccache_out = dict(ccache, p_rows=p_rows, phi_rows=phi_rows)
+            ccache_out.update(lam=lam, lam_lo=lam_lo, lam_hi=lam_hi)
         if sel is not None:
             # scatter compacted impulses back to the static row set via the
             # transposed selection matmul (top_k rows are unique one-hots)
@@ -1450,7 +1584,7 @@ class PhysicsEngine:
         if warm is not None and ws > 0.0:
             # row-frame impulses at full candidate rows (post scatter-back)
             warm_out = (lam, lam_lo, lam_hi)
-        return qd, imp_world, p, imp_dof, warm_out
+        return qd, imp_world, p, imp_dof, warm_out, ccache_out
 
     def _limit_solve(self, qd, Hinv, qpos_dof):
         """Joint-limit-only solve for contact-free scenes (e.g. Cartpole)."""
@@ -1520,18 +1654,22 @@ class PhysicsEngine:
         imp_dof_accum = jnp.zeros_like(qd)
         aux = None
         cache = None
+        ccache = None
         warm = state.lam if self.params.warm_start > 0 else None
         for _ in range(self.params.substeps):
             q, qd, aux = self.substep(q, qd, ctrl, terrain, phys,
-                                      dyn_cache=cache, warm=warm)
+                                      dyn_cache=cache, warm=warm,
+                                      contact_cache=ccache)
             if self.params.reuse_mass_matrix:
                 cache = aux[7]
+            if self.params.reuse_contact_rows:
+                ccache = aux[9]
             if aux[8] is not None:
                 warm = aux[8]
             if aux[4] is not None:
                 impulse_accum = aux[4] if impulse_accum is None else impulse_accum + aux[4]
             imp_dof_accum = imp_dof_accum + aux[6]
-        body_x, body_q, V, qdd, _, p_w, _, _, _ = aux
+        body_x, body_q, V, qdd, _, p_w, _, _, _, _ = aux
         # refresh kinematic outputs at the *new* state
         body_x, body_q = self.fk(q)
         S = self.dof_motion(body_x, body_q)

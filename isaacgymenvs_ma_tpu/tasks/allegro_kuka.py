@@ -121,6 +121,7 @@ TASK_CFG = {
         "dt": 0.01667, "substeps": 2, "up_axis": "z",
         "gravity": [0.0, 0.0, -9.81],
         "physx": {"num_position_iterations": 8, "num_velocity_iterations": 0,
+                  "reuse_contact_rows": True,
                   "max_depenetration_velocity": 1000.0},
     },
     "task": {"randomize": False, "randomization_params": {}},

@@ -24,6 +24,7 @@ compiles into one XLA program.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -77,6 +78,14 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         # max_gpu_contact_pairs — per-env, not global)
         contact_capacity=(int(physx["contact_capacity"])
                           if "contact_capacity" in physx else None),
+        # contact rows built once per control step and reused across substeps
+        # (the PhysX narrowphase-once-per-step model); default off for
+        # training quality on impact-heavy locomotion, enabled per task for
+        # grasping scenes via sim.physx.reuse_contact_rows (see SimParams)
+        reuse_contact_rows=bool(physx.get(
+            "reuse_contact_rows",
+            os.environ.get("IGMA_ROW_REUSE", "0") == "1")),
+        contact_continuation=bool(physx.get("contact_continuation", True)),
     )
 
 

@@ -139,6 +139,7 @@ def _base_cfg(name, num_obs, num_act, episode_len):
                 "gravity": [0.0, 0.0, -9.81],
                 "physx": {"num_position_iterations": 16,
                           "num_velocity_iterations": 0,
+                          "reuse_contact_rows": True,
                           "max_depenetration_velocity": 5.0}},
         "task": {"randomize": False, "randomization_params": {}},
     }

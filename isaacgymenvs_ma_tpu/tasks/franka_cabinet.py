@@ -58,6 +58,7 @@ TASK_CFG = {
         "physx": {
             "num_threads": 4, "solver_type": 1, "use_gpu": True,
             "num_position_iterations": 12, "num_velocity_iterations": 1,
+            "reuse_contact_rows": True,
             "contact_offset": 0.005, "rest_offset": 0.0,
             "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 1000.0,
             "default_buffer_size_multiplier": 5.0,

@@ -76,6 +76,7 @@ TASK_CFG = {
             "num_threads": 4, "solver_type": 1, "use_gpu": True,
             "num_position_iterations": 8, "num_velocity_iterations": 0,
             "contact_capacity": 24,  # 60 candidate rows; grasp uses <= ~16 (+49% on TPU)
+            "reuse_contact_rows": True,  # persistent grasp: PhysX-style once-per-step rows
             "contact_offset": 0.002, "rest_offset": 0.0,
             "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 1000.0,
             "default_buffer_size_multiplier": 5.0,

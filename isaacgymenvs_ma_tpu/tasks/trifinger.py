@@ -98,6 +98,7 @@ TASK_CFG = {
         "gravity": [0.0, 0.0, -9.81],
         "physx": {"num_position_iterations": 8, "num_velocity_iterations": 0,
                   "contact_offset": 0.002, "rest_offset": 0.0,
+                  "reuse_contact_rows": True,
                   "max_depenetration_velocity": 1000.0},
     },
     # Reference Trifinger.yaml:85-160 ships randomize: True.  Supported:

