@@ -113,8 +113,14 @@ class SimParams(NamedTuple):
     # 3763/6279 -> ~2300/5767 at 150 epochs over two seeds — locomotion foot
     # strikes are sensitive to one-substep-stale row geometry) for +8%
     # throughput.  Manipulation scenes (persistent grasps, tiny relative
-    # velocities) enable it per task via sim.physx.reuse_contact_rows, where
-    # it removes ~1/2 of the contact-setup cost (ShadowHand 56 -> 42 ms).
+    # velocities) enable it per task via sim.physx.reuse_contact_rows where
+    # measured faster on TPU v5e: ShadowHand 54.8 -> 40.5 ms/step (+35%),
+    # Trifinger 21.2 -> 14.6 (+46%), FrankaReachMA 39.7 -> 35.2 (+13%).
+    # It LOSES without active-set compaction when the full-row Jacobian
+    # cache is large (AllegroKuka, 34 rows uncompacted: 17.9 -> 21.0 ms —
+    # materializing the cache across the substep boundary costs more HBM
+    # traffic than the fused rebuild), and is neutral when the iteration
+    # loop dominates (Factory @ 16 iterations).
     reuse_contact_rows: bool = False
     # with reuse_contact_rows: seed each later substep's iteration from the
     # previous substep's converged impulses (the PhysX persistent-contact

@@ -98,6 +98,15 @@ class VecTaskBase:
 
     def __init__(self, cfg: dict):
         self.cfg = cfg
+        # the reference selects PhysX or Flex here (vec_task.py:236-245);
+        # only the PhysX-equivalent XLA engine exists — reject flex loudly
+        # rather than silently running the wrong solver
+        eng = str(cfg.get("physics_engine", "physx"))
+        if eng not in ("physx", ""):
+            raise NotImplementedError(
+                f"physics_engine={eng!r} is not supported: this build "
+                "implements the PhysX-equivalent rigid-body path only "
+                "(SURVEY.md §2.5 — flex is out of scope)")
         env_cfg = cfg["env"]
         self.num_envs = int(env_cfg["numEnvs"])
         self.num_obs = int(env_cfg["numObservations"])

@@ -58,7 +58,8 @@ TASK_CFG = {
         "physx": {
             "num_threads": 4, "solver_type": 1, "use_gpu": True,
             "num_position_iterations": 12, "num_velocity_iterations": 1,
-            "reuse_contact_rows": True,
+            # reuse_contact_rows measured neutral (0.68 vs 0.67 ms/step) —
+            # keep the per-substep row rebuild for accuracy
             "contact_offset": 0.005, "rest_offset": 0.0,
             "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 1000.0,
             "default_buffer_size_multiplier": 5.0,

@@ -109,3 +109,13 @@ def test_asymm_central_value():
 def test_low_gp_variant():
     cfg = train_default_config("HumanoidAMPPPOLowGP")["params"]["config"]
     assert cfg["disc_grad_penalty"] == 0.2
+
+
+def test_flex_engine_rejected():
+    """physics_engine=flex is accepted-but-unimplemented in this build
+    (reference selects engines at vec_task.py:236-245; SURVEY.md §2.5)."""
+    import pytest
+    from isaacgymenvs_ma_tpu.tasks.cartpole import Cartpole, TASK_CFG
+    from isaacgymenvs_ma_tpu.utils.config import deep_merge
+    with pytest.raises(NotImplementedError, match="flex"):
+        Cartpole(deep_merge(TASK_CFG, {"physics_engine": "flex"}))
