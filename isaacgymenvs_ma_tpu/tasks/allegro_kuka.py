@@ -120,11 +120,15 @@ TASK_CFG = {
     "sim": {
         "dt": 0.01667, "substeps": 2, "up_axis": "z",
         "gravity": [0.0, 0.0, -9.81],
-        # reuse_contact_rows measured SLOWER here (17.9 -> 21.0 ms/step on
-        # TPU v5e @ 8192): 34 uncompacted rows make the cached Jacobians big
-        # enough that materializing them across the substep boundary costs
-        # more HBM traffic than rebuilding (which fuses)
+        # contact_capacity 16: 34 candidate rows (21 plane + 13 pair), a
+        # grasp + table rest uses well under 16 — deepest-16 compaction
+        # measured +36% on TPU v5e @ 4096 (8.88 -> 6.54 ms/step).
+        # reuse_contact_rows measured SLOWER uncompacted (17.9 -> 21.0
+        # ms/step @ 8192: cached full-row Jacobians cost more HBM traffic
+        # than the fused rebuild) and hits a pathological TPU compile
+        # (>15 min) combined with compaction here — left off.
         "physx": {"num_position_iterations": 8, "num_velocity_iterations": 0,
+                  "contact_capacity": 16,
                   "max_depenetration_velocity": 1000.0},
     },
     "task": {"randomize": False, "randomization_params": {}},

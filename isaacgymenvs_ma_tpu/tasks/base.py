@@ -76,8 +76,10 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         reuse_mass_matrix=os.environ.get("IGMA_MM_REUSE", "1") == "1",
         # active-set compaction capacity (our static-shape analog of
         # max_gpu_contact_pairs — per-env, not global)
+        # explicit null in a config override disables compaction
         contact_capacity=(int(physx["contact_capacity"])
-                          if "contact_capacity" in physx else None),
+                          if physx.get("contact_capacity") is not None
+                          else None),
         # contact rows built once per control step and reused across substeps
         # (the PhysX narrowphase-once-per-step model); default off for
         # training quality on impact-heavy locomotion, enabled per task for

@@ -147,3 +147,31 @@ def test_contact_row_reuse_hand_settles():
     st, obs = roll(st)
     assert bool(jnp.all(jnp.isfinite(st.sim.q)))
     assert bool(jnp.all(jnp.isfinite(obs)))
+
+
+def test_allegro_kuka_capacity_near_equivalent():
+    """Deepest-16 compaction on AllegroKuka (34 candidate rows) must match
+    the uncompacted solve while #active <= 16 — a settle horizon from the
+    initial grasp pose stays within integration tolerance."""
+    from isaacgymenvs_ma_tpu.tasks.allegro_kuka import resolve_allegro_kuka
+    import copy
+    from isaacgymenvs_ma_tpu.tasks.allegro_kuka import TASK_CFG
+
+    def mk(cap):
+        cfg = copy.deepcopy(TASK_CFG)
+        cfg["env"]["numEnvs"] = 4
+        cfg["sim"]["physx"]["contact_capacity"] = cap
+        return resolve_allegro_kuka(cfg)
+
+    t_k, t_full = mk(16), mk(None)
+    assert t_k.engine.params.contact_capacity == 16
+    assert t_full.engine.params.contact_capacity is None
+    s_k = t_k.initial_state(jax.random.PRNGKey(0))
+    s_f = t_full.initial_state(jax.random.PRNGKey(0))
+    step_k, step_f = jax.jit(t_k.step), jax.jit(t_full.step)
+    for _ in range(5):
+        s_k, _ = step_k(s_k, t_k.zero_actions())
+        s_f, _ = step_f(s_f, t_full.zero_actions())
+    assert bool(jnp.all(jnp.isfinite(s_k.sim.q)))
+    np.testing.assert_allclose(np.asarray(s_k.sim.q), np.asarray(s_f.sim.q),
+                               rtol=0, atol=5e-3)
