@@ -122,13 +122,13 @@ TASK_CFG = {
         "gravity": [0.0, 0.0, -9.81],
         # contact_capacity 16: 34 candidate rows (21 plane + 13 pair), a
         # grasp + table rest uses well under 16 — deepest-16 compaction
-        # measured +36% on TPU v5e @ 4096 (8.88 -> 6.54 ms/step).
-        # reuse_contact_rows measured SLOWER uncompacted (17.9 -> 21.0
-        # ms/step @ 8192: cached full-row Jacobians cost more HBM traffic
-        # than the fused rebuild) and hits a pathological TPU compile
-        # (>15 min) combined with compaction here — left off.
+        # measured +36% on TPU v5e @ 4096 (8.88 -> 6.54 ms/step), and with
+        # the rows compacted contact-row reuse flips from a loss (cached
+        # full-row Jacobians at 34 rows cost more HBM traffic than the
+        # fused rebuild: 17.9 -> 21.0 ms/step @ 8192) to a further win:
+        # 6.54 -> 4.88 ms/step (+82% total over the uncompacted baseline).
         "physx": {"num_position_iterations": 8, "num_velocity_iterations": 0,
-                  "contact_capacity": 16,
+                  "contact_capacity": 16, "reuse_contact_rows": True,
                   "max_depenetration_velocity": 1000.0},
     },
     "task": {"randomize": False, "randomization_params": {}},
