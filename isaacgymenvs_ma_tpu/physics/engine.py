@@ -1042,29 +1042,15 @@ class PhysicsEngine:
         return p, J
 
     @staticmethod
-    def _w_diag(J_flat, HinvJ_flat, frames_rows, N, R_rows, nv):
-        """Per-axis Delassus diagonal (N, R, 3) in row-frame coordinates.
+    def _w_diag(J_flat, HinvJ_flat, N, R_rows, nv):
+        """Per-axis Delassus diagonal (N, R, 3) in row coordinates.
 
-        With frames: w_l = f_l^T (J Hinv J^T)_row f_l, written as explicit
-        3-term component sums — einsum over the size-3 axes lowers to ~N*K
-        tiny batched matmuls on TPU."""
-        if frames_rows is None:
-            return jnp.maximum(
-                jnp.sum(J_flat * HinvJ_flat, axis=-1).reshape(N, R_rows, 3),
-                1e-8)
-        J3 = J_flat.reshape(N, R_rows, 3, nv)
-        HJ3 = HinvJ_flat.reshape(N, R_rows, 3, nv)
-        w_cols = []
-        for l in range(3):
-            fl = frames_rows[..., l]                           # (N, R, 3)
-            Jf = (fl[..., 0, None] * J3[:, :, 0]
-                  + fl[..., 1, None] * J3[:, :, 1]
-                  + fl[..., 2, None] * J3[:, :, 2])            # (N, R, nv)
-            HJf = (fl[..., 0, None] * HJ3[:, :, 0]
-                   + fl[..., 1, None] * HJ3[:, :, 1]
-                   + fl[..., 2, None] * HJ3[:, :, 2])
-            w_cols.append(jnp.sum(Jf * HJf, -1))
-        return jnp.maximum(jnp.stack(w_cols, -1), 1e-8)
+        Rows arrive already projected into their contact frames
+        (``_build_J_flat(..., frames)``), so this is one minor-dim reduction
+        over the flat layout: w_l = Jf_l . (Hinv Jf_l)."""
+        return jnp.maximum(
+            jnp.sum(J_flat * HinvJ_flat, axis=-1).reshape(N, R_rows, 3),
+            1e-8)
 
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
                        friction_scale=None, grab_active=None,
@@ -1200,13 +1186,20 @@ class PhysicsEngine:
             masks_static = (jnp.asarray(self._row_masks_np())
                             if P_all else jnp.zeros((0, nv), qd.dtype))
 
-        def _build_J_flat(p_rows, mk):
-            """World-frame contact Jacobian, built directly in the flat
-            (N, 3R, nv) layout the solver consumes.  The natural
-            (N, R, nv, 3) stack pads its (nv, 3) minor dims to (8+, 128)
-            vector tiles on TPU — ~42x the payload in HBM traffic — so the
-            three world components are built as (N, R, nv) planes instead.
-            ``mk``: dof mask, static (R, nv) or per-env (N, R, nv)."""
+        def _build_J_flat(p_rows, mk, frames=None):
+            """Contact Jacobian, built directly in the flat (N, 3R, nv)
+            layout the solver consumes.  The natural (N, R, nv, 3) stack pads
+            its (nv, 3) minor dims to (8+, 128) vector tiles on TPU — ~42x
+            the payload in HBM traffic — so the three components are built as
+            (N, R, nv) planes instead.
+            ``mk``: dof mask, static (R, nv) or per-env (N, R, nv).
+            ``frames``: optional (N, R, 3, 3) row frames (t1, t2, n columns).
+            When given, the world planes are combined into ROW-FRAME planes
+            right here — pure elementwise combos that fuse into the plane
+            build.  Projecting at build time removes the per-iteration
+            3-vector rotations and the (N, R, 3, nv) w_diag reduction, which
+            tiles at ~8 GB/s on TPU (a whole-Jacobian einsum over the size-3
+            axes is even worse: ~N*R tiny batched matmuls — both measured)."""
             if mk.ndim == 2:
                 mk = mk[None]
             Sa = S[:, :, 0:3]                                  # (N, nv, 3)
@@ -1222,7 +1215,13 @@ class PhysicsEngine:
             Jy = (Sl[..., 1][:, None, :] + saz * px - sax * pz) * mk
             Jz = (Sl[..., 2][:, None, :] + sax * py - say * px) * mk
             R = p_rows.shape[1]
-            return jnp.stack([Jx, Jy, Jz], axis=2).reshape(N, 3 * R, nv)
+            if frames is None:
+                return jnp.stack([Jx, Jy, Jz], axis=2).reshape(N, 3 * R, nv)
+            planes = [frames[..., 0, l][:, :, None] * Jx
+                      + frames[..., 1, l][:, :, None] * Jy
+                      + frames[..., 2, l][:, :, None] * Jz
+                      for l in range(3)]
+            return jnp.stack(planes, axis=2).reshape(N, 3 * R, nv)
 
         if use_kernel:
             # fused-kernel path: frame-projected (N, P, nv, 3) rows as the
@@ -1300,12 +1299,16 @@ class PhysicsEngine:
 
             R_rows = p_rows.shape[1] if not use_kernel else P_all
             if not use_kernel:
-                J_flat = _build_J_flat(p_rows, masks_rows)      # (N, 3R, nv)
+                # rows are built pre-projected into their contact frames
+                # (identity for ground rows), so the iteration loop below
+                # needs no per-iteration rotations and w_diag is a clean
+                # minor-dim reduction over the flat layout
+                J_flat = _build_J_flat(p_rows, masks_rows,
+                                       frames_rows)             # (N, 3R, nv)
                 HinvJ_flat = jax.lax.dot_general(
                     J_flat, Hinv, (((2,), (1,)), ((0,), (0,))),
                     precision=_SOLVER)                          # (N, 3R, nv)
-                w_diag = self._w_diag(J_flat, HinvJ_flat, frames_rows,
-                                      N, R_rows, nv)
+                w_diag = self._w_diag(J_flat, HinvJ_flat, N, R_rows, nv)
             lam = jnp.zeros((N, R_rows, 3), qd.dtype)
             lam_lo = jnp.zeros_like(qd)
             lam_hi = jnp.zeros_like(qd)
@@ -1327,20 +1330,25 @@ class PhysicsEngine:
             is_gnd = cc["is_gnd"]
             rad_rows = cc["rad_rows"]
             R_rows = p_rows.shape[1]
-            # relative world velocity of each row through the cached Jacobian
+            # relative row-frame velocity of each row through the cached
+            # (pre-projected) Jacobian; component 2 is the normal velocity
             v3 = jax.lax.dot_general(
                 J_flat, qd_geom, (((2,), (1,)), ((0,), (0,))),
                 precision=_SOLVER).reshape(N, R_rows, 3)
-            if frames_rows is None:
-                v_n = v3[..., 2]
-            else:
-                v_n = jnp.sum(frames_rows[..., 2] * v3, -1)
+            v_n = v3[..., 2]
             phi_rows = cc["phi_rows"] + h * v_n
             if terrain is not None:
                 # terrain rows re-sample the heightfield at the advanced
                 # positions (the normal-velocity advance misses slope
-                # advection under horizontal motion)
-                p_rows = p_rows + h * v3
+                # advection under horizontal motion); the advance needs the
+                # WORLD velocity, so rotate v3 back through the row frames
+                if frames_rows is None:
+                    v3_w = v3
+                else:
+                    v3_w = (frames_rows[..., :, 0] * v3[..., 0, None]
+                            + frames_rows[..., :, 1] * v3[..., 1, None]
+                            + frames_rows[..., :, 2] * v3[..., 2, None])
+                p_rows = p_rows + h * v3_w
                 gz = terrain.height_at(p_rows[..., 0], p_rows[..., 1])
                 phi_g = p_rows[..., 2] - rad_rows - gz
                 phi_rows = jnp.where(is_gnd > 0.5, phi_g, phi_rows)
@@ -1486,29 +1494,25 @@ class PhysicsEngine:
         if att_J is not None:
             aJr, aHJr = flat_rows(att_J).astype(row_t), flat_rows(att_HJ).astype(row_t)
 
-        # lam is carried in row-frame coordinates; J stays world-frame, so
-        # impulse/velocity transfers rotate the (N, P, 3) vectors instead
-        # (identity when every row is world-aligned).  Explicit component
-        # sums, not einsum — see the w_diag note above.
+        # lam is carried in row-frame coordinates AND the J/HinvJ rows are
+        # pre-projected into those frames at build time, so every transfer in
+        # the loop pairs row-frame vectors with row-frame rows directly — no
+        # per-iteration rotations.  to_world survives only for the final
+        # world-frame impulse readout (force sensors / contact reporting).
         if frames_rows is None:
-            to_world = to_frame = lambda v: v
+            to_world = lambda v: v
         else:
             def to_world(v):   # v (N, P, 3) row-frame -> world
                 return (frames_rows[..., :, 0] * v[..., 0, None]
                         + frames_rows[..., :, 1] * v[..., 1, None]
                         + frames_rows[..., :, 2] * v[..., 2, None])
 
-            def to_frame(v):   # v (N, P, 3) world -> row-frame
-                return jnp.stack(
-                    [jnp.sum(frames_rows[..., l] * v, -1) for l in range(3)],
-                    axis=-1)
-
         ws = float(pr.warm_start)
         if ccache is not None and pr.contact_continuation:
             # in-step impulse continuation (seeds set in the cached branch):
             # apply their velocity contribution once up front — the loop then
             # only has to correct the substep-to-substep change
-            qd = qd + matvec_T(to_world(lam).reshape(N, -1), HJr) \
+            qd = qd + matvec_T(lam.reshape(N, -1), HJr) \
                 + matvec(Hinv_r, lam_lo - lam_hi)
         elif warm is not None and ws > 0.0:
             # cross-step warm start (SimParams.warm_start): seed from the
@@ -1522,7 +1526,7 @@ class PhysicsEngine:
             lam = jnp.where(active[..., None], ws * w_rows.astype(qd.dtype), 0.0)
             lam_lo = jnp.where(act_lo, ws * w_lo, 0.0)
             lam_hi = jnp.where(act_hi, ws * w_hi, 0.0)
-            qd = qd + matvec_T(to_world(lam).reshape(N, -1), HJr) \
+            qd = qd + matvec_T(lam.reshape(N, -1), HJr) \
                 + matvec(Hinv_r, lam_lo - lam_hi)
 
         def body_fn(carry, _):
@@ -1537,7 +1541,7 @@ class PhysicsEngine:
                 dl_att = relax * (att_b - v_att) / att_W
                 lam_att = lam_att + dl_att
                 qd_c = qd_c + matvec_T(dl_att.reshape(N, -1), aHJr)
-            v_c = to_frame(matvec(Jr, qd_c).reshape(N, P, 3))
+            v_c = matvec(Jr, qd_c).reshape(N, P, 3)   # row-frame directly
             # normal
             dv_n = b_n - v_c[..., 2]
             lam_n_new = jnp.maximum(lam[..., 2] + relax * dv_n / w_diag[..., 2], 0.0)
@@ -1548,7 +1552,7 @@ class PhysicsEngine:
             lam_t2 = jnp.clip(lam[..., 1] + relax * (-v_c[..., 1]) / w_diag[..., 1], -max_f, max_f)
             lam_new = jnp.stack([lam_t1, lam_t2, lam_n_new], axis=-1)
             lam_new = jnp.where(active[..., None], lam_new, 0.0)
-            dlam = to_world(lam_new - lam)
+            dlam = lam_new - lam                       # row-frame, like HJr
             dqd = matvec_T(dlam.reshape(N, -1), HJr)
             # joint limits (J = e_i): lower pushes +, upper pushes -
             qd_c2 = qd_c + dqd
@@ -1564,7 +1568,8 @@ class PhysicsEngine:
             body_fn, (qd, lam, lam_lo, lam_hi, lam_att, lam_g), None,
             length=self.params.num_iterations)
         lam_w = to_world(lam)                  # world-frame impulse vectors
-        imp_dof = matvec_T(lam_w.reshape(N, -1), Jr) + (lam_lo - lam_hi)
+        # J^T lam: row-frame lam pairs with the row-frame rows (J^T R^T R l)
+        imp_dof = matvec_T(lam.reshape(N, -1), Jr) + (lam_lo - lam_hi)
         ccache_out = None
         if reuse_rows:
             if ccache is None:
