@@ -296,6 +296,38 @@ class VecTaskBase:
         return new_state, StepResult(obs=obs, states=states, rew=rew,
                                      reset=self._to_batch(reset), extras=extras)
 
+    def reset_done(self, state: EnvState):
+        """Learner-driven reset (vec_task.py:442-457, the AMP-family contract
+        via learning/common_agent.py:458-460): reset every env whose
+        ``reset_buf`` is set, recompute observations from the fresh sim state,
+        and clear the reset flags.  Returns ``(state', obs, states)`` — the
+        done-id extraction (``reset_buf.nonzero()``) happens host-side in the
+        :class:`~..utils.rlgames_utils.RLGPUEnv` shim so this stays jittable.
+        """
+        key, k_reset, k_phys = jax.random.split(state.rng, 3)
+        mask = state.reset_buf > 0
+        phys = self.update_phys(state, mask, k_phys)
+        sim, task = self.reset_idx(state.sim, state.task, mask, k_reset)
+        sim = self._restore_lam(sim, state.sim.lam, mask)
+        progress = jnp.where(mask, 0, state.progress)
+        out = self.engine.forward(sim)
+        mid = EnvState(sim=sim, progress=progress,
+                       reset_buf=jnp.zeros_like(state.reset_buf),
+                       rng=key, task=task, phys=phys)
+        # obs recompute reuses the task's post_physics kernel with zero
+        # actions (the reference's reset_idx -> compute_observations path);
+        # reward/reset outputs are discarded, task-state updates kept.
+        # pre_physics runs first (control discarded) because stash-passing
+        # tasks populate per-trace state there that post_physics consumes.
+        _ = self.pre_physics(mid, self.zero_actions())
+        obs, states, _rew, _reset, task, _extras = self.post_physics(
+            mid, out, self.zero_actions())
+        obs = jnp.nan_to_num(jnp.clip(obs, -self.clip_obs, self.clip_obs))
+        if states is not None:
+            states = jnp.nan_to_num(
+                jnp.clip(states, -self.clip_obs, self.clip_obs))
+        return mid._replace(task=task), obs, states
+
     def _restore_lam(self, sim: SimState, lam_prev, zero_mask: jax.Array):
         """Re-attach warm-start impulses after a task's ``reset_idx`` rebuilt
         ``SimState(q, qd)`` (dropping ``lam``), zeroing them for envs that
