@@ -39,16 +39,29 @@ def initialize_distributed():
 
 def shard_batch_pytree(tree, mesh: Mesh, batch_sizes):
     """Shard leaves whose leading dim is one of ``batch_sizes`` over the env
-    axis; replicate everything else (params, optimizer, normalizers)."""
+    axis; replicate everything else (params, optimizer, normalizers).
+
+    Single-process: plain ``jax.device_put``.  Multi-process (every process
+    holds the same full host value, e.g. a seeded deterministic init): global
+    arrays are assembled from per-process shards with
+    ``jax.make_array_from_callback`` — each process contributes only its
+    addressable slice.  This is the one production layout path; train.py and
+    scripts/multihost_smoke.py both go through it.
+    """
     env_sharding = NamedSharding(mesh, P(ENV_AXIS))
     rep_sharding = NamedSharding(mesh, P())
     sizes = set(int(b) for b in batch_sizes)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
-        arr = jax.numpy.asarray(x)
-        if arr.ndim >= 1 and int(arr.shape[0]) in sizes and arr.shape[0] % mesh.size == 0:
-            return jax.device_put(arr, env_sharding)
-        return jax.device_put(arr, rep_sharding)
+        arr = np.asarray(x) if multiprocess else jax.numpy.asarray(x)
+        sharded = (arr.ndim >= 1 and int(arr.shape[0]) in sizes
+                   and arr.shape[0] % mesh.size == 0)
+        sh = env_sharding if sharded else rep_sharding
+        if multiprocess:
+            return jax.make_array_from_callback(arr.shape, sh,
+                                                lambda idx, a=arr: a[idx])
+        return jax.device_put(arr, sh)
 
     return jax.tree.map(put, tree)
 

@@ -74,52 +74,77 @@ def worker(rank: int, nprocs: int, port: int, devs_per_proc: int) -> None:
     sizes = {task.num_envs, task.rl_games_batch}
 
     # every process computes the same full initial state (seeded, CPU
-    # deterministic), then contributes only its addressable shards
+    # deterministic), then contributes only its addressable shards — through
+    # the PRODUCTION layout path (same call train.py makes), which switches
+    # to jax.make_array_from_callback when process_count() > 1
+    del env_sh, rep_sh, sizes
     state = agent.init()
-
-    def put(x):
-        arr = np.asarray(x)
-        sh = (env_sh if arr.ndim >= 1 and arr.shape[0] in sizes
-              and arr.shape[0] % mesh.size == 0 else rep_sh)
-        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
-
-    state = jax.tree.map(put, state)
+    state = pmesh.shard_batch_pytree(
+        state, mesh, batch_sizes=(task.num_envs, task.rl_games_batch))
     with jax.sharding.set_mesh(mesh):
         state, metrics = agent.train_epoch(state)
         state, metrics = agent.train_epoch(state)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), "non-finite loss"
-    # replicated leaves must stay bitwise-identical on every process after
-    # the cross-process gradient psum
-    leaf = jax.tree.leaves(state.params)[0]
-    local = np.asarray(leaf.addressable_shards[0].data)
-    digest = hashlib.sha256(local.tobytes()).hexdigest()[:16]
+    # ALL replicated leaves (params + optimizer state) must stay
+    # bitwise-identical on every process after the cross-process gradient psum
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(state.params) + jax.tree.leaves(state.opt_state):
+        h.update(np.asarray(leaf.addressable_shards[0].data).tobytes())
+    digest = h.hexdigest()[:16]
     q = state.env_state.sim.q
     assert len(q.sharding.device_set) == n_global
     print(f"rank{rank} ok loss={loss:.6f} digest={digest}", flush=True)
 
 
-def launch(nprocs: int, devs_per_proc: int) -> int:
+def _launch_once(nprocs: int, devs_per_proc: int, timeout_s: int):
+    """One attempt: spawn workers, collect (output, rc) per rank.  Any
+    exception (incl. per-worker timeout) kills every remaining worker so
+    nothing is orphaned inside a hung collective."""
     port = _free_port()
     env_base = {k: v for k, v in os.environ.items()
                 if not k.startswith(("XLA_FLAGS", "JAX_"))}
     procs = []
-    for r in range(nprocs):
-        env = dict(
-            env_base,
-            JAX_PLATFORMS="cpu",
-            XLA_FLAGS=f"--xla_force_host_platform_device_count={devs_per_proc}",
-            MH_RANK=str(r), MH_NPROCS=str(nprocs), MH_PORT=str(port),
-            MH_DEVS=str(devs_per_proc),
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs, rcs = [], []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-        rcs.append(p.returncode)
+    try:
+        for r in range(nprocs):
+            env = dict(
+                env_base,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS=f"--xla_force_host_platform_device_count={devs_per_proc}",
+                MH_RANK=str(r), MH_NPROCS=str(nprocs), MH_PORT=str(port),
+                MH_DEVS=str(devs_per_proc),
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs, rcs = [], []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout_s)
+            outs.append(out)
+            rcs.append(p.returncode)
+        return outs, rcs
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+
+def launch(nprocs: int, devs_per_proc: int, timeout_s: int = 240) -> int:
+    # the coordinator port is probed then released (TOCTOU): retry with a
+    # freshly probed port if rank0 loses the bind race
+    for attempt in range(3):
+        try:
+            outs, rcs = _launch_once(nprocs, devs_per_proc, timeout_s)
+        except subprocess.TimeoutExpired:
+            print("worker timed out (all workers killed)")
+            return 1
+        bind_race = any("bind" in out.lower() or "address already in use"
+                        in out.lower() for out, rc in zip(outs, rcs) if rc)
+        if bind_race and attempt < 2:
+            print("coordinator bind race, retrying with a fresh port")
+            continue
+        break
     ok_lines = []
     for r, (out, rc) in enumerate(zip(outs, rcs)):
         line = next((ln for ln in out.splitlines() if " ok " in ln), None)

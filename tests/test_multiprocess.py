@@ -19,6 +19,8 @@ def test_two_process_ppo_epoch():
            if not k.startswith(("XLA_FLAGS", "JAX_"))}
     out = subprocess.run(
         [sys.executable, SCRIPT, "--procs", "2", "--devs-per-proc", "4"],
-        capture_output=True, text=True, timeout=600, env=env)
+        # must exceed the launcher's own per-worker timeout (240s x 2 ranks
+        # + retries) so the launcher, not pytest, handles worker cleanup
+        capture_output=True, text=True, timeout=900, env=env)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "bitwise-identical" in out.stdout
