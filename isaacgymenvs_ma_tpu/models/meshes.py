@@ -66,7 +66,11 @@ def cylinder_mesh(radius: float, half_height: float, n: int = 48):
     verts = [bot, top, np.array([[0, 0, -half_height]], np.float64),
              np.array([[0, 0, half_height]], np.float64)]
     v = np.concatenate(verts).astype(np.float32)
-    tris = _stitch(0, n, n)
+    # wall needs flip=True for an OUTWARD orientation consistent with the
+    # caps (regression: the unflipped wall made the voxelizer's winding sign
+    # read the whole interior as outside — tests/test_sdf_contacts.py pins
+    # interior signs for every generator)
+    tris = _stitch(0, n, n, flip=True)
     tris += _fan(2 * n, 0, n, flip=True)       # bottom cap (faces -z)
     tris += _fan(2 * n + 1, n, n)              # top cap (faces +z)
     return v, np.asarray(tris, np.int32)
@@ -143,6 +147,81 @@ def box_with_hole_mesh(half_xy, half_height: float, hole_radius: float,
     tris += _stitch(2 * n, 0, n)                 # bottom annulus (-z)
     tris += _stitch(n, 3 * n, n)                 # top annulus (+z)
     return v, np.asarray(tris, np.int32)
+
+
+def hex_nut_mesh(width_flats: float, height: float, hole_radius: float):
+    """Hex nut solid (M-series: hexagonal prism with a through-bore), the
+    mesh-accurate replacement for the box nut proxy (reference nut OBJ assets,
+    docs/factory.md §Collisions and Contacts).  The bore is a hexagonal prism
+    inscribed in ``hole_radius`` (same angular sampling as the outer wall so
+    the annuli stitch watertight)."""
+    circum = width_flats / np.sqrt(3.0)     # across-flats -> across-corners/2
+    v, t = tube_mesh(circum, hole_radius, height / 2.0, n=6)
+    return v, t
+
+
+def hex_nut_contact_points(width_flats: float, height: float,
+                           hole_radius: float) -> np.ndarray:
+    """Structured contact-candidate cloud for a hex nut: outer corners and
+    flat midpoints on both faces (table/ground resting, pad gripping) plus
+    bore-rim corners on both faces (riding a bolt shank)."""
+    circum = width_flats / np.sqrt(3.0)
+    hh = height / 2.0
+    pts = []
+    for z in (-hh, hh):
+        pts.append(_ring(circum, z, 6))                      # outer corners
+        pts.append(_ring(width_flats / 2.0, z, 6, np.pi / 6))  # flat midpoints
+        pts.append(_ring(hole_radius, z, 6))                 # bore rim
+    return np.concatenate(pts).astype(np.float32)
+
+
+def bolt_mesh_parts(head_width_flats: float, head_height: float,
+                    shank_radius: float, shank_length: float, n: int = 24):
+    """Bolt as two clean watertight solids for CSG-union baking
+    (``ModelBuilder.add_sdf_geom(..., union_with=...)``): hex head on z=0 and
+    a round shank reaching half-way into it."""
+    hv, ht = cylinder_mesh(head_width_flats / np.sqrt(3.0),
+                           head_height / 2.0, n=6)
+    hv = hv + np.array([0, 0, head_height / 2.0], np.float32)
+    s_lo = head_height * 0.5
+    s_hh = (head_height * 0.5 + shank_length) / 2.0
+    sv, st = cylinder_mesh(shank_radius, s_hh, n=n)
+    sv = sv + np.array([0, 0, s_lo + s_hh], np.float32)
+    return [(hv, ht), (sv, st)]
+
+
+def bolt_mesh(head_width_flats: float, head_height: float,
+              shank_radius: float, shank_length: float, n: int = 24):
+    """Single concatenated bolt mesh (visualization / sampling only).  For
+    SDF baking use ``bolt_mesh_parts`` + ``union_with`` — a concatenated
+    union mesh has interior-interface triangles that cap |SDF| near the
+    head/shank seam."""
+    (hv, ht), (sv, st) = bolt_mesh_parts(head_width_flats, head_height,
+                                         shank_radius, shank_length, n)
+    v = np.concatenate([hv, sv]).astype(np.float32)
+    t = np.concatenate([ht, st + len(hv)]).astype(np.int32)
+    return v, t
+
+
+def cylinder_contact_points(radius: float, half_height: float,
+                            n_ring: int = 8, n_rows: int = 2) -> np.ndarray:
+    """Structured cloud for a round peg: rim rings at both ends (+ optional
+    intermediate rows) and the two axis endpoints."""
+    zs = np.linspace(-half_height, half_height, max(n_rows, 2))
+    pts = [_ring(radius, z, n_ring) for z in zs]
+    pts.append(np.array([[0, 0, -half_height], [0, 0, half_height]]))
+    return np.concatenate(pts).astype(np.float32)
+
+
+def tube_contact_points(r_outer: float, r_inner: float, half_height: float,
+                        n_ring: int = 8) -> np.ndarray:
+    """Structured cloud for an annular part (gear blank): outer and bore rims
+    on both faces."""
+    pts = []
+    for z in (-half_height, half_height):
+        pts.append(_ring(r_outer, z, n_ring))
+        pts.append(_ring(r_inner, z, n_ring))
+    return np.concatenate(pts).astype(np.float32)
 
 
 def uv_sphere_mesh(radius: float, nu: int = 32, nv: int = 16):

@@ -342,18 +342,33 @@ class ModelBuilder:
     def add_sdf_geom(self, body: int, verts, tris, pos=(0, 0, 0),
                      quat=(0, 0, 0, 1), density: Optional[float] = None,
                      friction: float = 1.0, resolution: int = 48,
-                     contact_samples: int = 0, name: str = ""):
+                     contact_samples: int = 0, contact_points=None,
+                     union_with=None, name: str = ""):
         """Mesh geom baked to a signed-distance voxel grid (native
         voxelizer — the analog of PhysX SDF collisions, docs/factory.md).
         Acts as a collision *target* in engine pair_specs; with
         ``contact_samples`` > 0 an area-weighted surface cloud is attached
-        so the mesh can also carry candidate points (collide as geom A).
+        so the mesh can also carry candidate points (collide as geom A), or
+        pass an explicit ``contact_points`` (K, 3) cloud (structured rims/
+        corners beat random samples for resting stability).
+        ``union_with``: optional list of extra (verts, tris) watertight
+        solids CSG-unioned into the grid.  Each part is voxelized SEPARATELY
+        on the shared grid and the fields combined with elementwise min —
+        voxelizing one concatenated mesh instead lets interior-interface
+        triangles cap |SDF| near the seam (measured: a nut sank 9 mm into a
+        bolt head whose top cap abutted the shank's bottom cap).
+
         Mass properties integrate the interior voxels."""
         from ..native import voxelize_mesh
-        verts = np.asarray(verts, np.float32)
-        tris = np.asarray(tris, np.int32)
-        lo = verts.min(0)
-        hi = verts.max(0)
+        parts = [(np.asarray(verts, np.float32), np.asarray(tris, np.int32))]
+        for uv, ut in (union_with or []):
+            parts.append((np.asarray(uv, np.float32),
+                          np.asarray(ut, np.int32)))
+        verts = parts[0][0]
+        tris = parts[0][1]
+        all_v = np.concatenate([p[0] for p in parts])
+        lo = all_v.min(0)
+        hi = all_v.max(0)
         margin = float((hi - lo).max()) * 0.15
         lo = lo - margin
         hi = hi + margin
@@ -361,8 +376,13 @@ class ModelBuilder:
         dims = np.maximum(np.ceil((hi - lo) / h).astype(np.int32) + 1, 4)
         vals = voxelize_mesh(verts, tris, lo, np.full(3, h, np.float32),
                              dims)
+        for uv, ut in parts[1:]:
+            vals = np.minimum(vals, voxelize_mesh(
+                uv, ut, lo, np.full(3, h, np.float32), dims))
         cp = None
-        if contact_samples:
+        if contact_points is not None:
+            cp = np.asarray(contact_points, np.float32)
+        elif contact_samples:
             from .meshes import surface_sample
             cp = surface_sample(verts, tris, contact_samples)
         g = Geom(
@@ -641,9 +661,9 @@ def compose_scene(parts) -> SceneModel:
                 bd.effort_limit = m.dof_effort_limit[v0:v1].copy()
                 bd.velocity_limit = m.dof_velocity_limit[v0:v1].copy()
         for g in m.geoms:
-            b.add_geom(off + g.body, g.gtype, g.size, g.pos, g.quat,
-                       density=None, friction=g.friction, contact=g.contact,
-                       name=g.name)
+            # field-preserving copy (SDF payloads / explicit contact clouds
+            # must survive composition)
+            b.geoms.append(dataclasses.replace(g, body=off + g.body))
         for s in range(len(m.sensor_body)):
             b.add_force_sensor(off + int(m.sensor_body[s]), m.sensor_pos[s])
         for a in range(len(m.actuator_dof)):
@@ -658,6 +678,19 @@ def compose_scene(parts) -> SceneModel:
         gv.append(m.body_gravity if len(m.body_gravity) == m.nb
                   else np.ones(m.nb))
     out.body_gravity = np.concatenate(gv) if gv else np.ones(out.nb)
+    # stitch per-dof DRIVE config (mode / kp / kd).  These live only on the
+    # finalized SceneModel arrays (ModelBuilder bodies don't carry them), so
+    # tasks set them on part models BEFORE composing — dropping them here
+    # silently disabled every PD drive configured that way (the hand tasks
+    # were fully limp: actions never reached the sim).
+    if parts:
+        out.dof_drive_mode = np.concatenate(
+            [np.asarray(m.dof_drive_mode, np.int32) for m, _, _ in parts])
+        out.dof_stiffness = np.concatenate(
+            [np.asarray(m.dof_stiffness, np.float64) for m, _, _ in parts])
+        out.dof_drive_damping = np.concatenate(
+            [np.asarray(m.dof_drive_damping, np.float64)
+             for m, _, _ in parts])
     # stitch init_qpos (applying base transforms to free roots)
     q0 = default_qpos(out)
     adr = 0

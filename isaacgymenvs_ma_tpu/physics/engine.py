@@ -89,6 +89,14 @@ class SimParams(NamedTuple):
     # (contact_kernel.py).  Default False: on Ant the XLA solve wins (see
     # contact_kernel routing note in _contact_solve)
     use_contact_kernel: bool = False
+    # PhysX-style mass splitting for the Jacobi iteration: scale each contact
+    # row's correction by 1/(active rows sharing its movable bodies).  Plain
+    # projected Jacobi diverges once R coincident rows satisfy R*relaxation
+    # > 2 (e.g. a mesh contact cloud resting face-down); splitting restores
+    # the single-row effective step.  Off by default (sparse-contact
+    # locomotion scenes converge faster without it); enabled by the
+    # mesh-cloud tasks (Factory/IndustReal) via sim.physx.mass_splitting
+    mass_splitting: bool = False
     # store the loop-invariant contact-row matrices (J, H^-1 J, H^-1) in
     # bfloat16 inside the solver iteration scan; multiplies already run in
     # bf16 (DEFAULT precision), accumulation stays f32.  None = auto: on
@@ -467,6 +475,17 @@ class PhysicsEngine:
             rb.extend([p_["tgt_body"]] * len(p_["pt_idx"]))
         self.row_body_a = np.asarray(ra, np.int32)
         self.row_body_b = np.asarray(rb, np.int32)
+        # mass-splitting support: per-row one-hot over the MOVABLE bodies the
+        # row pushes on (world/-1 and dof-less fixed structure excluded) —
+        # used to count active rows per body (SimParams.mass_splitting)
+        movable = np.asarray(m.dof_body_mask).any(axis=0)       # (nb,)
+        oh = np.zeros((len(ra), m.nb), np.float32)
+        for r, (ba, bb) in enumerate(zip(ra, rb)):
+            if ba >= 0 and movable[ba]:
+                oh[r, ba] = 1.0
+            if bb >= 0 and movable[bb]:
+                oh[r, bb] = 1.0
+        self._row_body_oh = jnp.asarray(oh)                     # (P_all, nb)
 
         # grab constraints: conditional bilateral body<->body point pins used
         # to model grasping (gripper suction) — activation per env via
@@ -1090,8 +1109,10 @@ class PhysicsEngine:
         from . import dyn_kernel as dk
         kernel_on = pr.use_contact_kernel or dk._FORCE_INTERPRET
         # the experimental fused kernel has no warm-start input; warm scenes
-        # stay on the XLA loop (kernel is default-off anyway)
+        # stay on the XLA loop (kernel is default-off anyway).  Mass
+        # splitting is likewise XLA-loop-only.
         kernel_on = kernel_on and not (warm is not None and pr.warm_start > 0)
+        kernel_on = kernel_on and not pr.mass_splitting
         use_kernel = (kernel_on and hinv_bl is not None
                       and n_ground + self.n_pair_rows > 0
                       and ck.supports(
@@ -1455,6 +1476,29 @@ class PhysicsEngine:
 
         relax = pr.relaxation
 
+        # Mass splitting (SimParams.mass_splitting): projected Jacobi
+        # diverges once R coincident active rows push the same body with
+        # R*relaxation > 2 (mesh contact clouds resting face-down).  Scale
+        # each row's correction by 1/(active rows sharing its movable
+        # bodies) — the active set is fixed across iterations, so the scale
+        # is computed once per solve.  Conservative (sum over both bodies
+        # >= max), which only slows convergence, never destabilizes.
+        row_scale = None
+        if pr.mass_splitting and R_rows > 0:
+            ohab = self._row_body_oh                        # (P_all, nb)
+            if sel is not None:
+                oh_rows = jax.lax.dot_general(
+                    sel, jnp.broadcast_to(ohab[None],
+                                          (N,) + ohab.shape),
+                    (((2,), (1,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST)    # (N, R, nb)
+            else:
+                oh_rows = jnp.broadcast_to(ohab[None], (N,) + ohab.shape)
+            af = active.astype(qd.dtype)
+            counts = jnp.einsum("nr,nrb->nb", af, oh_rows)  # active rows/body
+            n_r = jnp.einsum("nb,nrb->nr", counts, oh_rows)
+            row_scale = 1.0 / jnp.maximum(n_r, 1.0)
+
         # Row Jacobians live in the flat (N, C*3, nv) layout so the
         # per-iteration matvecs lower as batched dot_generals — einsum over
         # (npvk, nv) otherwise materializes (N, P, nv, 3) broadcast
@@ -1542,14 +1586,15 @@ class PhysicsEngine:
                 lam_att = lam_att + dl_att
                 qd_c = qd_c + matvec_T(dl_att.reshape(N, -1), aHJr)
             v_c = matvec(Jr, qd_c).reshape(N, P, 3)   # row-frame directly
+            rs = relax if row_scale is None else relax * row_scale
             # normal
             dv_n = b_n - v_c[..., 2]
-            lam_n_new = jnp.maximum(lam[..., 2] + relax * dv_n / w_diag[..., 2], 0.0)
+            lam_n_new = jnp.maximum(lam[..., 2] + rs * dv_n / w_diag[..., 2], 0.0)
             lam_n_new = jnp.where(active, lam_n_new, 0.0)
             # friction box clamp vs the *new* normal impulse
             max_f = mu * lam_n_new
-            lam_t1 = jnp.clip(lam[..., 0] + relax * (-v_c[..., 0]) / w_diag[..., 0], -max_f, max_f)
-            lam_t2 = jnp.clip(lam[..., 1] + relax * (-v_c[..., 1]) / w_diag[..., 1], -max_f, max_f)
+            lam_t1 = jnp.clip(lam[..., 0] + rs * (-v_c[..., 0]) / w_diag[..., 0], -max_f, max_f)
+            lam_t2 = jnp.clip(lam[..., 1] + rs * (-v_c[..., 1]) / w_diag[..., 1], -max_f, max_f)
             lam_new = jnp.stack([lam_t1, lam_t2, lam_n_new], axis=-1)
             lam_new = jnp.where(active[..., None], lam_new, 0.0)
             dlam = lam_new - lam                       # row-frame, like HJr

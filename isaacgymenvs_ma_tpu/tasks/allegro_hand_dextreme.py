@@ -220,9 +220,9 @@ class AllegroHandDextremeManualDR(AllegroHand):
         nh = self.num_hand_dofs
         dof_pos = self.engine.dof_pos(state.sim)[:, :nh]
         dof_vel = self.engine.dof_vel(state.sim)[:, :nh]
-        from .shadow_hand import OBJ_START, GOAL_DISPLACEMENT
-        goal_pos = jnp.broadcast_to(
-            jnp.asarray(OBJ_START + GOAL_DISPLACEMENT, jnp.float32), (n, 3))
+        from .shadow_hand import GOAL_POS
+        goal_pos = jnp.broadcast_to(jnp.asarray(GOAL_POS, jnp.float32),
+                                    (n, 3))
         rel = maths.quat_mul(noisy_rot, maths.quat_conjugate(hand.goal_rot))
         obs = jnp.concatenate([
             maths.unscale(dof_pos, self.dof_lower, self.dof_upper),

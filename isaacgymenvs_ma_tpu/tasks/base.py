@@ -88,6 +88,9 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
             "reuse_contact_rows",
             os.environ.get("IGMA_ROW_REUSE", "0") == "1")),
         contact_continuation=bool(physx.get("contact_continuation", True)),
+        # Jacobi mass splitting for dense/coincident contact clouds (mesh
+        # contacts) — see SimParams.mass_splitting
+        mass_splitting=bool(physx.get("mass_splitting", False)),
     )
 
 

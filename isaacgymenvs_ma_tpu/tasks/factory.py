@@ -52,6 +52,7 @@ FRANKA_DEPTH = 0.5
 # M16 nut/bolt (factory_asset_info_nut_bolt.yaml:85-98)
 NUT_WIDTH = 0.024          # across flats
 NUT_HEIGHT = 0.013
+NUT_HOLE_R = 0.0085        # bore radius (0.5 mm clearance over the shank)
 BOLT_WIDTH = 0.016         # shank diameter
 BOLT_HEAD_HEIGHT = 0.016
 BOLT_SHANK_LENGTH = 0.025
@@ -113,7 +114,11 @@ def _base_cfg(name, num_obs, num_act, episode_len):
                 "clipObservations": 5.0, "clipActions": 1.0,
                 "close_and_lift": True,
                 "num_gripper_close_sim_steps": 25,
-                "num_gripper_lift_sim_steps": 25},
+                "num_gripper_lift_sim_steps": 25,
+                # mesh-accurate SDF collisions (PhysX SDF-collision analog,
+                # docs/factory.md §Collisions): nut/bolt as baked voxel-grid
+                # geoms.  False falls back to primitive proxies.
+                "use_mesh_sdf": True},
         "randomize": {
             "franka_arm_initial_dof_pos": ARM_INIT.tolist(),
             "fingertip_midpoint_pos_initial": [0.0, -0.2, 0.2],
@@ -142,7 +147,10 @@ def _base_cfg(name, num_obs, num_act, episode_len):
                 # per-substep row rebuild for accuracy
                 "physx": {"num_position_iterations": 16,
                           "num_velocity_iterations": 0,
-                          "max_depenetration_velocity": 5.0}},
+                          "max_depenetration_velocity": 5.0,
+                          # mesh contact clouds rest many coincident rows at
+                          # once — Jacobi needs per-body impulse splitting
+                          "mass_splitting": True}},
         "task": {"randomize": False, "randomization_params": {}},
     }
 
@@ -162,6 +170,7 @@ class FactoryBase(VecTaskBase):
         e.setdefault("clipObservations", 5.0)
         self.cfg_rl = cfg["rl"]
         self.cfg_rand = cfg["randomize"]
+        self.use_mesh_sdf = bool(e.get("use_mesh_sdf", True))
         self.ctrl_type = cfg["ctrl"].get("ctrl_type", "joint_space_id")
         e["episodeLength"] = int(self.cfg_rl["max_episode_length"])
         super().__init__(cfg)
@@ -397,20 +406,42 @@ class FactoryTaskNutBoltPick(FactoryBase):
         ob.begin_actor()
         nut = ob.add_body("nut", -1, FREE,
                           body_pos=(0.0, -0.3, TABLE_HEIGHT + NUT_HEIGHT / 2))
-        # hex nut approximated by its bounding box (across-flats width)
-        ob.add_geom(nut, GEOM_BOX,
-                    np.array([NUT_WIDTH / 2, NUT_WIDTH / 2, NUT_HEIGHT / 2]),
-                    density=7850.0, friction=0.8, name="nut_geom")
+        if self.use_mesh_sdf:
+            # mesh-accurate hex nut: SDF target for the fingerpads, structured
+            # corner/rim cloud as candidate points vs table and bolt (PhysX
+            # SDF collisions, docs/factory.md §Collisions and Contacts)
+            from ..models import meshes
+            nv_, nt_ = meshes.hex_nut_mesh(NUT_WIDTH, NUT_HEIGHT, NUT_HOLE_R)
+            cp = meshes.hex_nut_contact_points(NUT_WIDTH, NUT_HEIGHT,
+                                               NUT_HOLE_R)
+            ob.add_sdf_geom(nut, nv_, nt_, density=7850.0, friction=0.8,
+                            resolution=40, contact_points=cp, name="nut_geom")
+        else:
+            # hex nut approximated by its bounding box (across-flats width)
+            ob.add_geom(nut, GEOM_BOX,
+                        np.array([NUT_WIDTH / 2, NUT_WIDTH / 2,
+                                  NUT_HEIGHT / 2]),
+                        density=7850.0, friction=0.8, name="nut_geom")
         bb = ModelBuilder()
         bb.begin_actor()
         bolt = bb.add_body("bolt", -1, FIXED,
                            body_pos=(0.0, 0.0, TABLE_HEIGHT))
-        bb.add_geom(bolt, GEOM_CYLINDER,
-                    np.array([BOLT_WIDTH / 2,
-                              (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2, 0]),
-                    pos=np.array([0, 0,
-                                  (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2]),
-                    friction=0.5, name="bolt_geom")
+        if self.use_mesh_sdf:
+            from ..models import meshes
+            head, shank = meshes.bolt_mesh_parts(
+                NUT_WIDTH, BOLT_HEAD_HEIGHT, BOLT_WIDTH / 2,
+                BOLT_SHANK_LENGTH)
+            bb.add_sdf_geom(bolt, head[0], head[1], friction=0.5,
+                            resolution=64, union_with=[shank],
+                            name="bolt_geom")
+        else:
+            bb.add_geom(bolt, GEOM_CYLINDER,
+                        np.array([BOLT_WIDTH / 2,
+                                  (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2,
+                                  0]),
+                        pos=np.array([0, 0, (BOLT_HEAD_HEIGHT
+                                             + BOLT_SHANK_LENGTH) / 2]),
+                        friction=0.5, name="bolt_geom")
         return [(ob.finalize(), (0, 0, 0), (0, 0, 0, 1)),
                 (bb.finalize(), (0, 0, 0), (0, 0, 0, 1))]
 
@@ -599,9 +630,18 @@ class FactoryTaskNutBoltScrew(FactoryBase):
             limit_lower=[0.0],
             limit_upper=[2 * np.pi * travel / THREAD_PITCH],
             damping=0.02)
-        bb.add_geom(nut, GEOM_BOX,
-                    np.array([NUT_WIDTH / 2, NUT_WIDTH / 2, NUT_HEIGHT / 2]),
-                    density=7850.0, friction=0.8, name="nut_geom")
+        if self.use_mesh_sdf:
+            # hex-mesh SDF pad target: gripper friction acts on the real
+            # flats while the SCREW joint supplies the exact thread kinematics
+            from ..models import meshes
+            nv_, nt_ = meshes.hex_nut_mesh(NUT_WIDTH, NUT_HEIGHT, NUT_HOLE_R)
+            bb.add_sdf_geom(nut, nv_, nt_, density=7850.0, friction=0.8,
+                            resolution=40, name="nut_geom")
+        else:
+            bb.add_geom(nut, GEOM_BOX,
+                        np.array([NUT_WIDTH / 2, NUT_WIDTH / 2,
+                                  NUT_HEIGHT / 2]),
+                        density=7850.0, friction=0.8, name="nut_geom")
         return [(bb.finalize(), (0, 0, 0), (0, 0, 0, 1))]
 
     def _reset_objects(self, sim, mask, key):

@@ -171,22 +171,43 @@ class IndustRealTaskPegsInsert(FactoryBase):
             "nut", -1, FREE,
             body_pos=(0.0, 0.0,
                       TABLE_HEIGHT + SOCKET_HALF[2] * 2 + PLUG_LENGTH / 2))
-        ob.add_geom(plug, GEOM_BOX,
-                    np.array([PLUG_RADIUS, PLUG_RADIUS, PLUG_LENGTH / 2]),
-                    density=7850.0, friction=0.5, name="nut_geom")
+        if self.use_mesh_sdf:
+            # round peg as a baked mesh: SDF pad target + structured rim
+            # rings as candidate points vs the socket material
+            from ..models import meshes
+            pv, pt = meshes.cylinder_mesh(PLUG_RADIUS, PLUG_LENGTH / 2, n=24)
+            cp = meshes.cylinder_contact_points(PLUG_RADIUS, PLUG_LENGTH / 2,
+                                                n_ring=8, n_rows=3)
+            ob.add_sdf_geom(plug, pv, pt, density=7850.0, friction=0.5,
+                            resolution=40, contact_points=cp, name="nut_geom")
+        else:
+            ob.add_geom(plug, GEOM_BOX,
+                        np.array([PLUG_RADIUS, PLUG_RADIUS, PLUG_LENGTH / 2]),
+                        density=7850.0, friction=0.5, name="nut_geom")
         sb = ModelBuilder()
         sb.begin_actor()
         sock = sb.add_body("socket", -1, FIXED, body_pos=SOCKET_POS)
         h = SOCKET_HALF
-        rim = (h[0] - SOCKET_HOLE_R) / 2
-        off = SOCKET_HOLE_R + rim
-        # 4-box rim around the hole so the plug can physically enter
-        for i, (dx, dy, hx, hy) in enumerate((
-                (off, 0, rim, h[1]), (-off, 0, rim, h[1]),
-                (0, off, SOCKET_HOLE_R, rim), (0, -off, SOCKET_HOLE_R, rim))):
-            sb.add_geom(sock, GEOM_BOX, np.array([hx, hy, h[2]]),
-                        pos=np.array([dx, dy, h[2]]), friction=0.3,
-                        name=f"socket_rim{i}")
+        if self.use_mesh_sdf:
+            # the real socket solid (block minus bore) as one GEOM_SDF
+            # collision target — the same mesh the SAPU/Warp-analog reward
+            # queries, now also what the peg physically collides with
+            from ..models import meshes
+            sv, stt = meshes.box_with_hole_mesh(h[:2], h[2], SOCKET_HOLE_R,
+                                                n=64)
+            sb.add_sdf_geom(sock, sv, stt, pos=np.array([0.0, 0.0, h[2]]),
+                            friction=0.3, resolution=72, name="socket_sdf")
+        else:
+            rim = (h[0] - SOCKET_HOLE_R) / 2
+            off = SOCKET_HOLE_R + rim
+            # 4-box rim around the hole so the plug can physically enter
+            for i, (dx, dy, hx, hy) in enumerate((
+                    (off, 0, rim, h[1]), (-off, 0, rim, h[1]),
+                    (0, off, SOCKET_HOLE_R, rim),
+                    (0, -off, SOCKET_HOLE_R, rim))):
+                sb.add_geom(sock, GEOM_BOX, np.array([hx, hy, h[2]]),
+                            pos=np.array([dx, dy, h[2]]), friction=0.3,
+                            name=f"socket_rim{i}")
         return [(ob.finalize(), (0, 0, 0), (0, 0, 0, 1)),
                 (sb.finalize(), (0, 0, 0), (0, 0, 0, 1))]
 
@@ -195,7 +216,15 @@ class IndustRealTaskPegsInsert(FactoryBase):
         nut_geom = names.index("nut_geom")
         pairs = [(names.index(pn), nut_geom) for pn in names
                  if pn.startswith("pad_")]
-        pairs += [(nut_geom, names.index(f"socket_rim{i}")) for i in range(4)]
+        if "socket_sdf" in names:
+            pairs.append((nut_geom, names.index("socket_sdf")))
+        else:
+            pairs += [(nut_geom, names.index(f"socket_rim{i}"))
+                      for i in range(4)]
+        if "shaft_geom" in names and self.use_mesh_sdf:
+            # gears scene: the real gear has a bore, so its rim points can
+            # ride the shaft (analytic cylinder target — exact SDF)
+            pairs.append((nut_geom, names.index("shaft_geom")))
         pairs.append((nut_geom, names.index("table_top")))
         # rigid grasp: grip site holds the plug top (closed gripper)
         grabs = [(model.body_names.index("panda_grip_site"), (0.0, 0.0, 0.0),
@@ -420,10 +449,22 @@ class IndustRealTaskGearsInsert(IndustRealTaskPegsInsert):
         gear = ob.add_body(
             "nut", -1, FREE,
             body_pos=(0.0, 0.0, TABLE_HEIGHT + SHAFT_HEIGHT + GEAR_HEIGHT))
-        ob.add_geom(gear, GEOM_BOX,
-                    np.array([GEAR_RADIUS * 0.8, GEAR_RADIUS * 0.8,
-                              GEAR_HEIGHT / 2]),
-                    density=1200.0, friction=0.5, name="nut_geom")
+        if self.use_mesh_sdf:
+            # annular gear blank with the real bore: SDF pad target +
+            # outer/bore rim rings as candidate points (plate + shaft)
+            from ..models import meshes
+            gv, gt = meshes.tube_mesh(GEAR_RADIUS, GEAR_HOLE_R,
+                                      GEAR_HEIGHT / 2, n=32)
+            cp = meshes.tube_contact_points(GEAR_RADIUS, GEAR_HOLE_R,
+                                            GEAR_HEIGHT / 2, n_ring=8)
+            ob.add_sdf_geom(gear, gv, gt, density=1200.0, friction=0.5,
+                            resolution=48, contact_points=cp,
+                            name="nut_geom")
+        else:
+            ob.add_geom(gear, GEOM_BOX,
+                        np.array([GEAR_RADIUS * 0.8, GEAR_RADIUS * 0.8,
+                                  GEAR_HEIGHT / 2]),
+                        density=1200.0, friction=0.5, name="nut_geom")
         sb = ModelBuilder()
         sb.begin_actor()
         base = sb.add_body("socket", -1, FIXED, body_pos=SOCKET_POS)

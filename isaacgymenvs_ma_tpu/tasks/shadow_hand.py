@@ -88,7 +88,15 @@ TASK_CFG = {
 
 HAND_POS = np.array([0.0, 0.0, 0.5])
 OBJ_START = HAND_POS + np.array([0.0, -0.39, 0.10])
+# where the goal VISUALIZATION actor sits (ref shadow_hand.py:320-326) —
+# display only, never part of the reward
 GOAL_DISPLACEMENT = np.array([-0.2, -0.06, 0.12 - 0.04])
+# the REWARD goal position: the object's own init position dropped 4 cm
+# (ref :402-403 ``goal_states = object_init_state; goal_states[z] -= 0.04``).
+# Round-1 wrongly used the displaced viz position here, which made holding
+# cost ~-2.2/step (goal_dist 0.224) and dying optimal — the hand tasks could
+# not learn until this was fixed.
+GOAL_POS = OBJ_START + np.array([0.0, 0.0, -0.04])
 CUBE_SIZE = 0.065  # block object half ~0.0325 (cube_multicolor urdf scale)
 
 FINGERTIP_BODIES = ["robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
@@ -285,7 +293,7 @@ class ShadowHand(VecTaskBase):
         obj = out.root_states[:, 1]
         obj_pos, obj_rot = obj[:, 0:3], obj[:, 3:7]
         obj_linvel, obj_angvel = obj[:, 7:10], obj[:, 10:13]
-        goal_pos = jnp.asarray(OBJ_START + GOAL_DISPLACEMENT, jnp.float32)
+        goal_pos = jnp.asarray(GOAL_POS, jnp.float32)
         goal_rot = task.goal_rot
 
         quat_diff = maths.quat_mul(obj_rot, maths.quat_conjugate(goal_rot))

@@ -200,7 +200,7 @@ def launch(argv=None):
             _pbt_state_ref.cur = state
             m_host = {k: float(v) for k, v in metrics.items()}
             pbt_observer.after_steps(ep, int(m_host["frames"]), m_host)
-        if ep % 20 == 0 or ep == max_epochs:
+        if ep % int(cfg.get("log_interval", 20) or 20) == 0 or ep == max_epochs:
             m = {k: float(v) for k, v in metrics.items()}
             fps = m["frames"] / max(time.time() - t0, 1e-9)
             print(f"epoch {ep}/{max_epochs} reward {m['mean_return']:.2f} "
