@@ -59,8 +59,13 @@ class AllegroHand(ShadowHand):
         obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
         ob.add_geom(obj, GEOM_BOX, np.full(3, 0.065 / 2), density=400.0,
                     name="object_geom")
+        # self-aligning placement: allegro palm surface normal is the palm
+        # frame's +x (fingers extend distally along it when open)
+        from .shadow_hand import _palm_up_placement
+        base, quat = _palm_up_placement(hand, "palm_box",
+                                        np.array([1.0, 0, 0]))
         model = compose_scene([
-            (hand, HAND_POS, (0.0, 0.0, 0.0, 1.0)),
+            (hand, base, tuple(quat)),
             (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])
         ft = [model.body_names.index(n) for n in FINGERTIPS]
         model.sensor_body = np.asarray(ft, np.int32)

@@ -42,6 +42,58 @@ from .allegro_hand import AllegroHand, TASK_CFG as ALLEGRO_CFG
 from .base import EnvState, masked_update
 from .shadow_hand import HandTaskState
 
+MAX_ACTION_LATENCY = 8   # action-history depth (policy steps)
+
+# ADR parameter tree — reference names/ranges/limits/deltas from
+# cfg/task/AllegroHandDextremeADR.yaml:250-422, each wired to a TPU-native
+# effect (per-dof drive scales, per-body mass scales, contact friction,
+# affine obs/action noise, action latency, cube-pose camera refresh, RNA).
+# Tasks can override the whole tree via the task config's ``adr`` section.
+DEFAULT_ADR_PARAMS = {
+    # hand dof properties (multiplicative scales on the allegro drives)
+    "hand_damping": {"init_range": [0.9, 1.1], "limits": [0.3, 3.0],
+                     "delta": 0.02},
+    "hand_stiffness": {"init_range": [0.9, 1.1], "limits": [0.3, 3.0],
+                       "delta": 0.02},
+    "hand_mass": {"init_range": [0.9, 1.1], "limits": [0.4, 2.0],
+                  "delta": 0.02},
+    # object physical properties
+    "object_mass": {"init_range": [0.9, 1.1], "limits": [0.4, 2.0],
+                    "delta": 0.02},
+    "object_friction": {"init_range": [0.9, 1.1], "limits": [0.3, 2.0],
+                        "delta": 0.02},
+    # affine observation / action corruption (OAI-style: _additive sampled
+    # once per episode, _white per step; values are gaussian stds)
+    "affine_action_white": {"init_range": [0.0, 0.04], "limits": [0.0, 0.4],
+                            "delta": 0.01},
+    "affine_action_additive": {"init_range": [0.0, 0.04],
+                               "limits": [0.0, 0.4], "delta": 0.01},
+    "affine_cube_pose_white": {"init_range": [0.0, 0.005],
+                               "limits": [0.0, 0.04], "delta": 0.002},
+    "affine_cube_pose_additive": {"init_range": [0.0, 0.005],
+                                  "limits": [0.0, 0.04], "delta": 0.002},
+    "affine_cube_rot_white": {"init_range": [0.0, 0.02],
+                              "limits": [0.0, 0.3], "delta": 0.01},
+    "affine_dof_pos_white": {"init_range": [0.0, 0.005],
+                             "limits": [0.0, 0.04], "delta": 0.002},
+    "affine_dof_pos_additive": {"init_range": [0.0, 0.005],
+                                "limits": [0.0, 0.04], "delta": 0.002},
+    # action latency (policy steps held in the action-history ring)
+    "action_latency": {"init_range": [0.0, 0.0],
+                       "limits": [0.0, float(MAX_ACTION_LATENCY - 2)],
+                       "delta": 0.1},
+    "action_delay_prob": {"init_range": [0.0, 0.05], "limits": [0.0, 0.7],
+                          "delta": 0.01},
+    # cube-pose camera model: inverse refresh rate + extra-delay chance
+    "cube_pose_refresh_rate": {"init_range": [1.0, 1.0], "limits": [1.0, 6.0],
+                               "delta": 0.2},
+    "cube_obs_delay_prob": {"init_range": [0.0, 0.05], "limits": [0.0, 0.7],
+                            "delta": 0.01},
+    # RandomNetworkAdversary blend weight
+    "rna_alpha": {"init_range": [0.0, 0.0], "limits": [0.0, 1.0],
+                  "delta": 0.01},
+}
+
 TASK_CFG = deep_merge(ALLEGRO_CFG, {
     "name": "AllegroHandDextremeManualDR",
     "env": {
@@ -61,26 +113,32 @@ TASK_CFG = deep_merge(ALLEGRO_CFG, {
         "rnaRefreshInterval": 600,
         "actionNoise": 0.02,
     },
+    # reference adr section (AllegroHandDextremeADR.yaml:227-422)
+    "adr": {
+        "use_adr": True,
+        "worker_adr_boundary_fraction": 0.4,
+        "adr_queue_threshold_length": 128,
+        "adr_objective_threshold_low": 1.0,
+        "adr_objective_threshold_high": 3.0,
+        "params": DEFAULT_ADR_PARAMS,
+    },
 })
-
-# ADR parameter table: 4 engine PhysScales factors + 4 noise magnitudes.
-ADR_PARAMS = ("mass", "damping", "stiffness", "friction",
-              "action_noise", "cube_pos_noise", "cube_rot_noise", "rna_alpha")
-_ADR_CFG = ADRConfig(
-    names=ADR_PARAMS,
-    init_lo=(0.95, 0.95, 0.95, 0.95, 0.00, 0.000, 0.00, 0.00),
-    init_hi=(1.05, 1.05, 1.05, 1.05, 0.01, 0.005, 0.02, 0.05),
-    limit_lo=(0.4, 0.4, 0.4, 0.4, 0.0, 0.0, 0.0, 0.0),
-    limit_hi=(2.0, 2.0, 2.0, 2.0, 0.1, 0.04, 0.3, 0.5),
-    delta=(0.02, 0.02, 0.02, 0.02, 0.005, 0.002, 0.01, 0.02),
-    queue_size=128, threshold_low=1.0, threshold_high=3.0,
-    worker_fraction=0.25)
 
 
 class DextremeTaskState(NamedTuple):
     hand: HandTaskState
     rna: RNAState
     step_count: jax.Array               # scalar int32 (RNA refresh clock)
+    # affine corruption state (per-episode biases + action-latency ring +
+    # camera-refresh hold) — reference adr_vec_task affine transforms /
+    # cube_pose_refresh_rate / action_latency params
+    act_hist: jax.Array                 # (N, L, A) newest-first action ring
+    act_bias: jax.Array                 # (N, A) per-episode action bias
+    cube_pos_bias: jax.Array            # (N, 3) per-episode cube-pos bias
+    dof_bias: jax.Array                 # (N, nh) per-episode dof-obs bias
+    held_pos: jax.Array                 # (N, 3) last refreshed cube pos obs
+    held_rot: jax.Array                 # (N, 4)
+    pose_counter: jax.Array             # (N,) steps until next pose refresh
     adr: Optional[ADRState] = None      # ADR variant only
     adr_params: Optional[jax.Array] = None  # (N, P) per-env sampled values
 
@@ -141,31 +199,69 @@ class AllegroHandDextremeManualDR(AllegroHand):
         return self.split_obs(flat, self.state_spec)
 
     # -- per-env DR magnitudes (ManualDR: fixed; ADR: from adr_params) --
-    def _noise_mags(self, task: DextremeTaskState):
+    def _adr_value(self, task: DextremeTaskState, name: str) -> jax.Array:
+        """Per-env (N,) value of an ADR-tree parameter.  ManualDR pins the
+        legacy fixed magnitudes; the ADR subclass samples from its adaptive
+        ranges (reference adr_vec_task.py:489-920)."""
         n = self.num_envs
-        ones = jnp.ones((n,), jnp.float32)
-        return {"action_noise": self.action_noise * ones,
-                "cube_pos_noise": self.cube_pos_noise * ones,
-                "cube_rot_noise": self.cube_rot_noise * ones,
-                "rna_alpha": self.rna_alpha * ones}
+        fixed = {
+            "affine_action_white": self.action_noise,
+            "affine_cube_pose_white": self.cube_pos_noise,
+            "affine_cube_rot_white": self.cube_rot_noise,
+            "rna_alpha": self.rna_alpha,
+            "cube_pose_refresh_rate": 1.0,
+        }
+        return jnp.full((n,), fixed.get(name, 0.0), jnp.float32)
+
+    def _noise_mags(self, task: DextremeTaskState):
+        return {"action_noise": self._adr_value(task, "affine_action_white"),
+                "cube_pos_noise": self._adr_value(task,
+                                                  "affine_cube_pose_white"),
+                "cube_rot_noise": self._adr_value(task,
+                                                  "affine_cube_rot_white"),
+                "rna_alpha": self._adr_value(task, "rna_alpha")}
 
     # -- lifecycle ------------------------------------------------------
     def initial_task_state(self):
         hand = super().initial_task_state()
         rna = self.rna.init(jax.random.PRNGKey(97))
-        return DextremeTaskState(hand=hand, rna=rna,
-                                 step_count=jnp.asarray(0, jnp.int32))
+        n = self.num_envs
+        nh = self.num_hand_dofs
+        return DextremeTaskState(
+            hand=hand, rna=rna, step_count=jnp.asarray(0, jnp.int32),
+            act_hist=jnp.zeros((n, MAX_ACTION_LATENCY, self.num_actions),
+                               jnp.float32),
+            act_bias=jnp.zeros((n, self.num_actions), jnp.float32),
+            cube_pos_bias=jnp.zeros((n, 3), jnp.float32),
+            dof_bias=jnp.zeros((n, nh), jnp.float32),
+            held_pos=jnp.zeros((n, 3), jnp.float32),
+            held_rot=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (n, 1)),
+            pose_counter=jnp.zeros((n,), jnp.float32))
 
     def _hand(self, task):
         return task.hand
 
     def pre_physics(self, state: EnvState, actions: jax.Array) -> Control:
         task: DextremeTaskState = state.task
+        n = self.num_envs
         key = jax.random.fold_in(state.rng, 7)
-        k_n, k_p, k_r = jax.random.split(key, 3)
+        k_n, k_p, k_r, k_d = jax.random.split(key, 4)
         mags = self._noise_mags(task)
-        # white action noise + RNA structured perturbation (ref :57, rna_util)
-        actions = actions + mags["action_noise"][:, None] * \
+        # ---- action latency (ref action_latency/action_delay_prob): the
+        # executed action comes from a newest-first history ring, per-env
+        # delayed by floor(latency) plus a stochastic extra step
+        act_hist = jnp.concatenate(
+            [actions[:, None, :], task.act_hist[:, :-1]], axis=1)
+        lat = jnp.floor(self._adr_value(task, "action_latency"))
+        extra = (jax.random.uniform(k_d, (n,))
+                 < self._adr_value(task, "action_delay_prob"))
+        lat = jnp.clip(lat + extra.astype(jnp.float32), 0,
+                       MAX_ACTION_LATENCY - 1)
+        sel = jax.nn.one_hot(lat.astype(jnp.int32), MAX_ACTION_LATENCY,
+                             dtype=actions.dtype)
+        actions = jnp.einsum("nl,nla->na", sel, act_hist)
+        # ---- affine corruption: per-episode additive bias + white noise
+        actions = actions + task.act_bias + mags["action_noise"][:, None] * \
             jax.random.normal(k_n, actions.shape)
         if self.rna_enabled:
             dof_pos = self.engine.dof_pos(state.sim)[:, : self.num_hand_dofs]
@@ -182,14 +278,32 @@ class AllegroHandDextremeManualDR(AllegroHand):
             masks=tuple(jnp.where(refresh, f, o)
                         for f, o in zip(fresh.masks, task.rna.masks)),
             key=jnp.where(refresh, fresh.key, task.rna.key))
-        self._task_updates = dict(rna=rna, step_count=task.step_count + 1)
+        self._task_updates = dict(rna=rna, step_count=task.step_count + 1,
+                                  act_hist=act_hist)
         # delegate position-target drive to the hand task
         hand_state = state._replace(task=task.hand)
         return super().pre_physics(hand_state, actions)
 
     def reset_idx(self, sim: SimState, task: DextremeTaskState, mask, key):
         sim, hand = super().reset_idx(sim, task.hand, mask, key)
-        return sim, task._replace(hand=hand)
+        task = task._replace(hand=hand)
+        # per-episode affine biases, sampled with the (possibly adaptive)
+        # _additive stds; action ring and camera hold restart
+        n = self.num_envs
+        ks = jax.random.split(jax.random.fold_in(key, 23), 3)
+        act_bias = self._adr_value(task, "affine_action_additive")[:, None] \
+            * jax.random.normal(ks[0], (n, self.num_actions))
+        pos_bias = self._adr_value(task, "affine_cube_pose_additive")[:, None] \
+            * jax.random.normal(ks[1], (n, 3))
+        dof_bias = self._adr_value(task, "affine_dof_pos_additive")[:, None] \
+            * jax.random.normal(ks[2], (n, self.num_hand_dofs))
+        task = task._replace(
+            act_hist=jnp.where(mask[:, None, None], 0.0, task.act_hist),
+            act_bias=masked_update(mask, act_bias, task.act_bias),
+            cube_pos_bias=masked_update(mask, pos_bias, task.cube_pos_bias),
+            dof_bias=masked_update(mask, dof_bias, task.dof_bias),
+            pose_counter=jnp.where(mask, 0.0, task.pose_counter))
+        return sim, task
 
     def post_physics(self, state: EnvState, out, actions):
         task: DextremeTaskState = state.task
@@ -209,7 +323,8 @@ class AllegroHandDextremeManualDR(AllegroHand):
                             mags["cube_pos_noise"])
         rot_std = jnp.where(unreliable, self.unreliable_rot_jump,
                             mags["cube_rot_noise"])
-        noisy_pos = obj_pos + pos_std[:, None] * jax.random.normal(ks[1], (n, 3))
+        noisy_pos = obj_pos + task.cube_pos_bias \
+            + pos_std[:, None] * jax.random.normal(ks[1], (n, 3))
         axis = jax.random.normal(ks[2], (n, 3))
         axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True),
                                   1e-8)
@@ -217,16 +332,38 @@ class AllegroHandDextremeManualDR(AllegroHand):
         noisy_rot = maths.quat_mul(maths.quat_from_angle_axis(ang, axis),
                                    obj_rot)
 
+        # camera refresh model (ref cube_pose_refresh_rate /
+        # cube_obs_delay_prob): the observed pose only updates every
+        # refresh-rate steps, with a stochastic extra hold
+        counter = task.pose_counter - 1.0
+        refresh_now = counter <= 0.0
+        extra_hold = (jax.random.uniform(ks[4], (n,))
+                      < self._adr_value(task, "cube_obs_delay_prob"))
+        next_counter = jnp.where(
+            refresh_now,
+            jnp.round(self._adr_value(task, "cube_pose_refresh_rate"))
+            + extra_hold.astype(jnp.float32),
+            counter)
+        held_pos = jnp.where(refresh_now[:, None], noisy_pos, task.held_pos)
+        held_rot = jnp.where(refresh_now[:, None], noisy_rot, task.held_rot)
+        self._task_updates.update(held_pos=held_pos, held_rot=held_rot,
+                                  pose_counter=next_counter)
+
         nh = self.num_hand_dofs
         dof_pos = self.engine.dof_pos(state.sim)[:, :nh]
         dof_vel = self.engine.dof_vel(state.sim)[:, :nh]
         from .shadow_hand import GOAL_POS
         goal_pos = jnp.broadcast_to(jnp.asarray(GOAL_POS, jnp.float32),
                                     (n, 3))
-        rel = maths.quat_mul(noisy_rot, maths.quat_conjugate(hand.goal_rot))
+        rel = maths.quat_mul(held_rot, maths.quat_conjugate(hand.goal_rot))
+        k_dof = jax.random.fold_in(state.rng, 17)
+        dof_obs = maths.unscale(dof_pos, self.dof_lower, self.dof_upper) \
+            + task.dof_bias \
+            + self._adr_value(task, "affine_dof_pos_white")[:, None] \
+            * jax.random.normal(k_dof, (n, nh))
         obs = jnp.concatenate([
-            maths.unscale(dof_pos, self.dof_lower, self.dof_upper),
-            noisy_pos, noisy_rot,
+            dof_obs,
+            held_pos, held_rot,
             goal_pos, hand.goal_rot,
             rel,
             actions,
@@ -254,14 +391,41 @@ class AllegroHandDextremeManualDR(AllegroHand):
 
 
 class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
-    """ADR variant: DR magnitudes + PhysScales ranges adapt via boundary
-    workers (ref AllegroHandDextremeADR / adr_vec_task.py)."""
+    """ADR variant: the full reference parameter tree (hand drive scales,
+    object mass/friction, affine obs/action noise, action latency, camera
+    refresh, RNA alpha — cfg/task/AllegroHandDextremeADR.yaml:250-422)
+    adapts via jitted boundary workers (adr_vec_task.py:489-920)."""
 
     use_adr = True
 
     def __init__(self, cfg):
         super().__init__(cfg)
-        self.adr = ADR(_ADR_CFG, self.num_envs)
+        from ..utils.adr import adr_config_from_params
+        adr_cfg = dict(cfg.get("adr") or {})
+        if "params" not in adr_cfg:
+            adr_cfg["params"] = DEFAULT_ADR_PARAMS
+        self._adr_cfg_tree = adr_cfg
+        self.adr = ADR(adr_config_from_params(adr_cfg), self.num_envs)
+        self._adr_idx = {n: i for i, n in enumerate(self.adr.cfg.names)}
+        # per-dof / per-body wiring masks for the physics-level parameters
+        m = self.model
+        nv, nb = self.engine.nv, self.engine.nb
+        hand_dof = np.zeros(nv, np.float32)
+        hand_dof[np.asarray(self.hand_dofs)] = 1.0
+        self._hand_dof_mask = jnp.asarray(hand_dof)
+        obj_body = m.body_names.index("object")
+        hand_body = np.zeros(nb, np.float32)
+        for i, nme in enumerate(m.body_names):
+            if i != obj_body:
+                hand_body[i] = 1.0
+        self._hand_body_mask = jnp.asarray(hand_body)
+        self._obj_body_mask = jnp.asarray(
+            np.eye(nb, dtype=np.float32)[obj_body])
+
+    def _adr_value(self, task: DextremeTaskState, name: str) -> jax.Array:
+        if task.adr_params is not None and name in self._adr_idx:
+            return task.adr_params[:, self._adr_idx[name]]
+        return super()._adr_value(task, name)
 
     def initial_task_state(self):
         base = super().initial_task_state()
@@ -273,20 +437,29 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
         return PhysScales.ones(self.num_envs)
 
     def update_phys(self, state: EnvState, reset_mask, key):
-        p = state.task.adr_params
-        return PhysScales(mass=p[:, 0:1], damping=p[:, 1:2],
-                          stiffness=p[:, 2:3], friction=p[:, 3:4])
+        """Per-property engine scales from the sampled tree: hand drive
+        damping/stiffness on the hand dofs, per-body mass for hand vs
+        object, object contact friction."""
+        t = state.task
 
-    def _noise_mags(self, task: DextremeTaskState):
-        p = task.adr_params
-        return {"action_noise": p[:, 4], "cube_pos_noise": p[:, 5],
-                "cube_rot_noise": p[:, 6], "rna_alpha": p[:, 7]}
+        def v(name):
+            return self._adr_value(t, name)[:, None]
+
+        damping = 1.0 + (v("hand_damping") - 1.0) * self._hand_dof_mask
+        stiffness = 1.0 + (v("hand_stiffness") - 1.0) * self._hand_dof_mask
+        mass = (1.0 + (v("hand_mass") - 1.0) * self._hand_body_mask
+                + (v("object_mass") - 1.0) * self._obj_body_mask)
+        return PhysScales(mass=mass, damping=damping, stiffness=stiffness,
+                          friction=v("object_friction"))
 
     def reset_idx(self, sim: SimState, task: DextremeTaskState, mask, key):
-        sim, task = super().reset_idx(sim, task, mask, key)
+        # resample the per-env parameter row FIRST so the per-episode
+        # affine biases drawn in super().reset_idx use the fresh stds
         fresh = self.adr.sample(jax.random.fold_in(key, 11), task.adr)
         params = masked_update(mask, fresh, task.adr_params)
-        return sim, task._replace(adr_params=params)
+        task = task._replace(adr_params=params)
+        sim, task = super().reset_idx(sim, task, mask, key)
+        return sim, task
 
     def _adr_update(self, task: DextremeTaskState, reset, hand):
         # boundary performance = consecutive successes achieved this episode

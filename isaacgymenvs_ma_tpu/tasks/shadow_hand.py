@@ -79,6 +79,9 @@ TASK_CFG = {
             "reuse_contact_rows": True,  # persistent grasp: PhysX-style once-per-step rows
             "contact_offset": 0.002, "rest_offset": 0.0,
             "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 1000.0,
+            # a pinched cube carries 10+ coincident contact rows at once —
+            # plain Jacobi diverges (R*relaxation > 2) and launches the cube
+            "mass_splitting": True,
             "default_buffer_size_multiplier": 5.0,
             "max_gpu_contact_pairs": 8388608, "contact_collection": 0,
         },
@@ -87,16 +90,63 @@ TASK_CFG = {
 }
 
 HAND_POS = np.array([0.0, 0.0, 0.5])
-OBJ_START = HAND_POS + np.array([0.0, -0.39, 0.10])
 # where the goal VISUALIZATION actor sits (ref shadow_hand.py:320-326) —
 # display only, never part of the reward
 GOAL_DISPLACEMENT = np.array([-0.2, -0.06, 0.12 - 0.04])
-# the REWARD goal position: the object's own init position dropped 4 cm
-# (ref :402-403 ``goal_states = object_init_state; goal_states[z] -= 0.04``).
-# Round-1 wrongly used the displaced viz position here, which made holding
-# cost ~-2.2/step (goal_dist 0.224) and dying optimal — the hand tasks could
-# not learn until this was fixed.
+# Scene placement is SELF-ALIGNING (round 2): the hand part is rotated so
+# its palm surface normal points up and translated so the palm lands at
+# PALM_TARGET; the cube spawns just above it, and the REWARD goal is the
+# cube spawn dropped 4 cm (ref :402-403 ``goal_states = object_init_state;
+# goal_states[z] -= 0.04``).  Round 1 used the reference Shadow mount
+# offsets verbatim against spec frames that carry their own MJCF world
+# transform — the cube spawned ~30 cm away from the palm in empty space
+# (masked at the time by the also-broken limp drives), so no hand task
+# could ever hold, let alone learn.
+PALM_TARGET = np.array([0.0, -0.01, 0.55])
+OBJ_SPAWN_HEIGHT = 0.06          # cube center above the palm anchor
+# legacy module constants (superseded by task.obj_start / task.goal_pos)
+OBJ_START = PALM_TARGET + np.array([0.0, 0.0, OBJ_SPAWN_HEIGHT])
 GOAL_POS = OBJ_START + np.array([0.0, 0.0, -0.04])
+
+
+def _part_body_pose0(m, body: int):
+    """World pose of a part body at q = 0 (numpy, build-time only)."""
+    from ..models.model import _quat_to_mat_np, _quat_mul_np
+    chain = []
+    b = body
+    while b != -1:
+        chain.append(b)
+        b = int(m.parent[b])
+    pos = np.zeros(3)
+    quat = np.array([0.0, 0, 0, 1.0])
+    for b in reversed(chain):
+        pos = pos + _quat_to_mat_np(quat) @ np.asarray(m.body_pos[b], float)
+        quat = _quat_mul_np(quat, np.asarray(m.body_quat[b], float))
+    return pos, quat
+
+
+def _palm_up_placement(hand, palm_geom_name: str, palm_axis: np.ndarray):
+    """(base_pos, base_quat) rotating the hand part so the palm-frame axis
+    ``palm_axis`` points at world +z and the palm geom center lands at
+    PALM_TARGET."""
+    from ..models.model import _quat_to_mat_np
+    g = next(g for g in hand.geoms if g.name == palm_geom_name)
+    bp, bq = _part_body_pose0(hand, g.body)
+    Rb = _quat_to_mat_np(bq)
+    c_part = bp + Rb @ np.asarray(g.pos, float)
+    v = Rb @ np.asarray(palm_axis, float)
+    v = v / np.linalg.norm(v)
+    axis = np.cross(v, [0.0, 0, 1.0])
+    s = np.linalg.norm(axis)
+    if s < 1e-8:
+        q = (np.array([0.0, 0, 0, 1.0]) if v[2] > 0
+             else np.array([1.0, 0, 0, 0.0]))
+    else:
+        ang = float(np.arctan2(s, v[2]))
+        axis = axis / s
+        q = np.concatenate([axis * np.sin(ang / 2), [np.cos(ang / 2)]])
+    base = PALM_TARGET - _quat_to_mat_np(q) @ c_part
+    return base, q
 CUBE_SIZE = 0.065  # block object half ~0.0325 (cube_multicolor urdf scale)
 
 FINGERTIP_BODIES = ["robot0:ffdistal", "robot0:mfdistal", "robot0:rfdistal",
@@ -178,8 +228,10 @@ class ShadowHand(VecTaskBase):
         obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
         ob.add_geom(obj, GEOM_BOX, np.full(3, CUBE_SIZE / 2), density=400.0,
                     name="object_geom")
+        base, quat = _palm_up_placement(hand, "robot0:C_palm0",
+                                        np.array([0.0, 0, 1.0]))
         model = compose_scene([
-            (hand, HAND_POS, (0.0, 0.0, 0.0, 1.0)),
+            (hand, base, tuple(quat)),
             (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])
         # fingertip sensors on the composed model
         ft = [model.body_names.index(n) for n in FINGERTIP_BODIES]

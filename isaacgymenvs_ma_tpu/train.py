@@ -203,8 +203,14 @@ def launch(argv=None):
         if ep % int(cfg.get("log_interval", 20) or 20) == 0 or ep == max_epochs:
             m = {k: float(v) for k, v in metrics.items()}
             fps = m["frames"] / max(time.time() - t0, 1e-9)
+            succ = ""
+            for sk in ("episode/consecutive_successes", "episode/successes"):
+                if sk in m:
+                    succ = f" succ {m[sk]:.2f}"
+                    break
             print(f"epoch {ep}/{max_epochs} reward {m['mean_return']:.2f} "
-                  f"len {m['mean_length']:.0f} kl {m['kl']:.4f} fps {fps:,.0f}")
+                  f"len {m['mean_length']:.0f} kl {m['kl']:.4f}{succ} "
+                  f"fps {fps:,.0f}")
             observer.after_print_stats(ep, m)
             if m["mean_return"] >= pcfg.score_to_win:
                 print("score_to_win reached")

@@ -139,6 +139,45 @@ class ADR:
         return jnp.mean(width / jnp.maximum(span, 1e-9))
 
 
+def adr_config_from_params(adr_cfg: dict) -> ADRConfig:
+    """Build an :class:`ADRConfig` from a reference-style ``adr`` config tree
+    (cfg/task/AllegroHandDextremeADR.yaml:227-422):
+
+    .. code-block:: yaml
+
+        adr:
+          worker_adr_boundary_fraction: 0.4
+          adr_queue_threshold_length: 256
+          adr_objective_threshold_low: 5
+          adr_objective_threshold_high: 20
+          params:
+            hand_damping: {init_range: [0.5, 2.0], limits: [0.01, 20.0],
+                           delta: 0.01}
+            ...
+
+    Parameter order follows the dict order of ``params`` — tasks look values
+    up by name through the returned ``names`` tuple.
+    """
+    params = adr_cfg["params"]
+    names, lo0, hi0, llo, lhi, dl = [], [], [], [], [], []
+    for name, p in params.items():
+        names.append(name)
+        lo0.append(float(p["init_range"][0]))
+        hi0.append(float(p["init_range"][1]))
+        llo.append(float(p["limits"][0]))
+        lhi.append(float(p["limits"][1]))
+        dl.append(float(p.get("delta", 0.01)))
+    return ADRConfig(
+        names=tuple(names), init_lo=tuple(lo0), init_hi=tuple(hi0),
+        limit_lo=tuple(llo), limit_hi=tuple(lhi), delta=tuple(dl),
+        queue_size=int(adr_cfg.get("adr_queue_threshold_length", 256)),
+        threshold_low=float(adr_cfg.get("adr_objective_threshold_low", 5.0)),
+        threshold_high=float(adr_cfg.get("adr_objective_threshold_high",
+                                         20.0)),
+        worker_fraction=float(adr_cfg.get("worker_adr_boundary_fraction",
+                                          0.4)))
+
+
 PHYS_PARAM_NAMES = ("mass", "damping", "stiffness", "friction")
 
 

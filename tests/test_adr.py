@@ -88,3 +88,33 @@ def test_observe_jits():
     f = jax.jit(adr.observe)
     st2 = f(st, jnp.ones(64, bool), jnp.ones(64))
     assert np.isfinite(np.asarray(st2.ranges)).all()
+
+
+def test_adr_config_from_reference_tree():
+    """Config-driven tree (reference AllegroHandDextremeADR.yaml:227-422
+    schema) builds an ADRConfig with matching names/limits/meta."""
+    from isaacgymenvs_ma_tpu.utils.adr import ADR, adr_config_from_params
+    tree = {
+        "worker_adr_boundary_fraction": 0.4,
+        "adr_queue_threshold_length": 256,
+        "adr_objective_threshold_low": 5,
+        "adr_objective_threshold_high": 20,
+        "params": {
+            "hand_damping": {"init_range": [0.5, 2.0],
+                             "limits": [0.01, 20.0], "delta": 0.01},
+            "action_latency": {"init_range": [0.0, 0.0],
+                               "limits": [0.0, 6.0], "delta": 0.1},
+        },
+    }
+    cfg = adr_config_from_params(tree)
+    assert cfg.names == ("hand_damping", "action_latency")
+    assert cfg.init_lo == (0.5, 0.0) and cfg.init_hi == (2.0, 0.0)
+    assert cfg.limit_lo == (0.01, 0.0) and cfg.limit_hi == (20.0, 6.0)
+    assert cfg.queue_size == 256
+    assert cfg.threshold_low == 5 and cfg.threshold_high == 20
+    assert cfg.worker_fraction == 0.4
+    adr = ADR(cfg, 64)
+    st = adr.init()
+    import jax
+    vals = adr.sample(jax.random.PRNGKey(0), st)
+    assert vals.shape == (64, 2)
