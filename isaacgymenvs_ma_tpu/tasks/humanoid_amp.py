@@ -75,7 +75,13 @@ TASK_CFG = {
     "task": {"randomize": False},
 }
 
-MOTIONS_DIR = "/root/reference/assets/amp/motions"
+# checked-in real mocap clips (SFU-derived, BSD-3 data ingested through the
+# poselib retarget pipeline — scripts/ingest_reference_motions.py); falls
+# back to an external reference checkout when the repo data is absent
+MOTIONS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "motions")
+if not os.path.isdir(MOTIONS_DIR):
+    MOTIONS_DIR = "/root/reference/assets/amp/motions"
 
 
 def dof_to_obs(pose: jax.Array) -> jax.Array:
