@@ -12,6 +12,7 @@ import random
 
 
 def mutate_float(x, change_min=1.1, change_max=1.5):
+    x = float(x)  # CLI overrides arrive as strings ("1e-7")
     perturb = random.uniform(change_min, change_max)
     if random.random() < 0.5:
         return x / perturb

@@ -149,8 +149,20 @@ class AnymalTerrain(VecTaskBase):
         e = cfg["env"]
         learn = e["learn"]
         self.decimation = int(e["control"]["decimation"])
-        e["controlFrequencyInv"] = self.decimation
-        dt_policy = cfg["sim"]["dt"] * self.decimation
+        # Fold the reference's decimation loop (pre_physics_step :441-451,
+        # 4x gym.simulate per policy step) into ENGINE substeps: the target
+        # is constant across the decimation window and the PD drive is
+        # implicit per substep either way, so the physics tick (h = dt) is
+        # identical — but the articulation-inertia chain and the jit
+        # step-loop overheads run once per POLICY step instead of once per
+        # tick (measured: the mass-matrix chain dominated this task's
+        # 4-engine-step loop).
+        sim_dt_tick = float(cfg["sim"]["dt"])
+        cfg["sim"]["substeps"] = self.decimation * int(
+            cfg["sim"].get("substeps", 1))
+        cfg["sim"]["dt"] = sim_dt_tick * self.decimation
+        e["controlFrequencyInv"] = 1
+        dt_policy = cfg["sim"]["dt"]
         self.max_episode_length_s = float(learn["episodeLength_s"])
         e["episodeLength"] = int(self.max_episode_length_s / dt_policy + 0.5)
         self.lin_vel_scale = float(learn["linearVelocityScale"])
