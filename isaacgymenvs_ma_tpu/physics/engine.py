@@ -970,12 +970,20 @@ class PhysicsEngine:
         """Static reachability of the ground plane per candidate point.
 
         For a point on body ``b`` whose kinematic tree has a non-FREE root,
+        walk the path root -> b composing EXACT forward kinematics through
+        the leading run of FIXED joints (composed scene mounts carry
+        arbitrary base rotations — norm-ball bounds through them are
+        needlessly loose; round 2's self-aligning hand scenes regressed the
+        prune exactly this way).  From the first movable joint L onward,
         world z is bounded below by
 
-            z_root - sum_{links root->b} (|body_pos| + slide/screw range)
-                   - |pt_off| - rad
+            z_anchor(L) - |jnt_pos(L)| - range(L)
+                        - sum_{links below L} (|body_pos| + joint_trans)
+                        - |pt_off| - rad
 
-        (|R v| = |v| bounds any hinge orientation; slide/screw joints add
+        where ``z_anchor(L)`` is the exact world z of L's joint anchor (it
+        depends only on the rigid prefix, so it is constant; |R v| = |v|
+        bounds any hinge orientation below L; slide/screw joints add
         their limit range, unlimited ones make the bound -inf).  A point
         whose bound stays above the plane with margin can never generate a
         ground row.  The margin doubles the point-offset term (object-dim DR
@@ -987,6 +995,7 @@ class PhysicsEngine:
         parent = np.asarray(m.parent)
         jnt = np.asarray(m.jnt_type)
         body_pos = np.asarray(m.body_pos, np.float64)
+        body_quat = np.asarray(m.body_quat, np.float64)
         jnt_pos = np.asarray(m.jnt_pos, np.float64)
         v_adr = np.asarray(m.v_adr)
         lo = np.asarray(m.dof_lower, np.float64)
@@ -1012,21 +1021,39 @@ class PhysicsEngine:
 
         min_z = np.full(m.nb, -np.inf)
         for b in range(m.nb):
-            path = []
+            path = []                         # root .. b inclusive
             a = b
-            while parent[a] != -1:
+            while a != -1:
                 path.append(a)
                 a = int(parent[a])
-            root = a
-            if jnt[root] == md.FREE:
+            path.reverse()
+            # exact FK through the leading FIXED run (rigid w.r.t. world)
+            pos = np.zeros(3)
+            R = np.eye(3)
+            i = 0
+            while i < len(path) and jnt[path[i]] == md.FIXED:
+                link = path[i]
+                pos = pos + R @ body_pos[link]
+                R = R @ md._quat_to_mat_np(body_quat[link])
+                i += 1
+            if i == len(path):                # fully rigid: exact z
+                min_z[b] = float(pos[2])
+                continue
+            L = path[i]
+            if jnt[L] == md.FREE:
                 continue                      # floating tree: reachable
-            # the root's own joint can move its origin below body_pos[2] too
-            bound = float(body_pos[root][2])
-            d0 = joint_trans(root)
-            ok = d0 is not None
-            if ok:
-                bound -= d0
-            for link in (path if ok else ()):
+            # L's joint anchor is constant (depends only on the rigid prefix)
+            anchor = pos + R @ body_pos[L] + \
+                R @ md._quat_to_mat_np(body_quat[L]) @ jnt_pos[L]
+            bound = float(anchor[2]) - float(np.linalg.norm(jnt_pos[L]))
+            ok = True
+            if jnt[L] in (md.SLIDE, md.SCREW):
+                v = int(v_adr[L])
+                if not has_lim[v]:
+                    ok = False
+                else:
+                    bound -= max(abs(lo[v]), abs(hi[v]))
+            for link in (path[i + 1:] if ok else ()):
                 if jnt[link] == md.FREE:      # free joint mid-tree
                     ok = False
                     break

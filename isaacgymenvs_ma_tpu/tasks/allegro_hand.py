@@ -19,7 +19,9 @@ from .shadow_hand import ShadowHand, TASK_CFG as SH_CFG, HAND_POS, OBJ_START
 
 TASK_CFG = deep_merge(SH_CFG, {
     "name": "AllegroHand",
-    "env": {"numEnvs": 8192, "observationType": "full_state"},
+    # 30 Hz policy over the 60 Hz sim (ref cfg/task/AllegroHand.yaml:24)
+    "env": {"numEnvs": 8192, "observationType": "full_state",
+            "controlFrequencyInv": 2},
 })
 
 FINGERTIPS = ["index_biotac_tip", "middle_biotac_tip", "ring_biotac_tip",
@@ -40,11 +42,18 @@ class AllegroHand(ShadowHand):
             hand.dof_drive_mode[d] = DRIVE_POS
             hand.dof_stiffness[d] = 3.0
             hand.dof_drive_damping[d] = 0.1
-        # contact approximations: palm box + fingertip spheres
+        # contact approximations: palm box + fingertip spheres.
+        # palm_link frame (measured from the URDF mesh bbox + fk at q=0):
+        # the palm body mesh occupies z in [-0.098, 0], fingers attach at
+        # z~-0.011 and extend distally along +x, flexion curls fingertips
+        # toward +z — the palmar surface is the z=0 top face.  The box is a
+        # thin slab on that face; round 2's box ([-0.01,0,0.05] half
+        # [.02,.05,.06]) stood perpendicular to it, a phantom wall occupying
+        # the space where the cube must sit.
         palm = hand.body_names.index("palm_link")
         hand.geoms.append(Geom(body=palm, gtype=GEOM_BOX,
-                               size=np.array([0.02, 0.05, 0.06]),
-                               pos=np.array([-0.01, 0.0, 0.05]),
+                               size=np.array([0.05, 0.058, 0.0075]),
+                               pos=np.array([-0.008, 0.009, -0.0075]),
                                quat=np.array([0.0, 0, 0, 1]), friction=1.0,
                                contact=True, name="palm_box"))
         for n in FINGERTIPS:
@@ -59,11 +68,15 @@ class AllegroHand(ShadowHand):
         obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
         ob.add_geom(obj, GEOM_BOX, np.full(3, 0.065 / 2), density=400.0,
                     name="object_geom")
-        # self-aligning placement: allegro palm surface normal is the palm
-        # frame's +x (fingers extend distally along it when open)
+        # self-aligning placement: the palmar surface normal is the palm
+        # frame's +z (fingers extend distally along +x and curl toward +z) —
+        # align it to world up so the palm face is horizontal under the cube
+        # (ref allegro_hand.py:283-296 mounts the hand palm-up via the
+        # composed axis-angle quat).  Round 2 aligned +x (the finger axis):
+        # fingers pointed up, cube balanced on fingertips.
         from .shadow_hand import _palm_up_placement
         base, quat = _palm_up_placement(hand, "palm_box",
-                                        np.array([1.0, 0, 0]))
+                                        np.array([0.0, 0, 1.0]))
         model = compose_scene([
             (hand, base, tuple(quat)),
             (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])

@@ -75,7 +75,10 @@ TASK_CFG = {
         "physx": {
             "num_threads": 4, "solver_type": 1, "use_gpu": True,
             "num_position_iterations": 8, "num_velocity_iterations": 0,
-            "contact_capacity": 24,  # 60 candidate rows; grasp uses <= ~16 (+49% on TPU)
+            # 60 candidate rows; the settled palm grasp keeps <= ~9 proximate
+            # but landings/manipulation spike speculative rows — 24 visibly
+            # truncated the solve during the drop-in (round 3 measurement)
+            "contact_capacity": 32,
             "reuse_contact_rows": True,  # persistent grasp: PhysX-style once-per-step rows
             "contact_offset": 0.002, "rest_offset": 0.0,
             "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 1000.0,
@@ -228,8 +231,18 @@ class ShadowHand(VecTaskBase):
         obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
         ob.add_geom(obj, GEOM_BOX, np.full(3, CUBE_SIZE / 2), density=400.0,
                     name="object_geom")
+        # palm-frame axes: +z is the distal/finger direction (knuckles at
+        # z~0.095), the palm box's thin axis is y, and finger flexion
+        # (positive rotation about the +x hinge axes) curls fingertips toward
+        # -y — so the palmar surface normal is -y.  Aligning -y to world up
+        # puts the palm face horizontal under the cube with fingers level,
+        # matching the reference mount (identity rotation of an asset whose
+        # palm faces up; object at dy=-0.39 along the forearm,
+        # ref shadow_hand.py:306-315).  Round 2 aligned +z instead — fingers
+        # pointed at the sky and the cube balanced on the fingertips, which
+        # is why 5000 epochs produced retention but zero reorientations.
         base, quat = _palm_up_placement(hand, "robot0:C_palm0",
-                                        np.array([0.0, 0, 1.0]))
+                                        np.array([0.0, -1.0, 0.0]))
         model = compose_scene([
             (hand, base, tuple(quat)),
             (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])
@@ -387,11 +400,12 @@ class ShadowHand(VecTaskBase):
 
         obs = assemble(self.obs_type, self.num_obs)
 
-        # reward kernel (ref :747+)
+        # reward kernel (ref :747+), terms kept named for the episode extras
         action_penalty = jnp.sum(jnp.square(actions), -1)
-        reward = (goal_dist * self.dist_reward_scale
-                  + 1.0 / (jnp.abs(rot_dist) + self.rot_eps) * self.rot_reward_scale
-                  + self.action_penalty_scale * action_penalty)
+        dist_rew = goal_dist * self.dist_reward_scale
+        rot_rew = (1.0 / (jnp.abs(rot_dist) + self.rot_eps)
+                   * self.rot_reward_scale)
+        reward = dist_rew + rot_rew + self.action_penalty_scale * action_penalty
         success = jnp.abs(rot_dist) <= self.success_tolerance
         reward = jnp.where(success, reward + self.reach_goal_bonus, reward)
         fallen = goal_dist >= self.fall_dist
@@ -420,5 +434,16 @@ class ShadowHand(VecTaskBase):
                   if self.num_states > 0 else None)
         task = HandTaskState(goal_rot=goal_rot, successes=successes,
                              consecutive=cons, prev_targets=self._new_targets)
-        extras = {"consecutive_successes": cons, "true_objective": cons}
+        extras = {
+            "consecutive_successes": cons, "true_objective": cons,
+            # per-term diagnostics (ref extras['episode'] channel,
+            # anymal_terrain.py:420-425 pattern) — rot_dist/goal_dist means
+            # make the "why no successes" question answerable from the log
+            "episode": {
+                "rot_dist": rot_dist, "goal_dist": goal_dist,
+                "dist_rew": dist_rew, "rot_rew": rot_rew,
+                "success_rate_step": success.astype(jnp.float32),
+                "fall_rate_step": fallen.astype(jnp.float32),
+            },
+        }
         return obs, states, reward, reset, task, extras

@@ -35,19 +35,24 @@ def test_ground_prune_keeps_free_base():
 
 
 def test_compaction_equivalence():
-    """capacity >= #active rows is bitwise-equivalent to the full solve."""
+    """capacity >= #active rows is bitwise-equivalent to the full solve.
+
+    Compared on a settled palm grasp (20 steps in): the cube's initial
+    drop-in briefly makes more speculative rows proximate than any capacity
+    worth shipping, exactly like PhysX's max_gpu_contact_pairs truncation."""
     cfg = deep_merge(registry.task_default_config("ShadowHand"),
                      {"env": {"numEnvs": 16}})
     t = registry.create_task("ShadowHand", cfg)
     st = t.initial_state(jax.random.PRNGKey(0))
     acts = jax.random.uniform(jax.random.PRNGKey(1),
                               (16, t.num_actions), minval=-1, maxval=1)
-    for _ in range(4):
-        st, _ = t.step(st, acts)
-    assert t.engine.params.contact_capacity == 24
-    st_cap, _ = t.step(st, acts)
+    assert t.engine.params.contact_capacity == 32
+    step_cap = jax.jit(t.step)
+    for _ in range(20):
+        st, _ = step_cap(st, acts)
+    st_cap, _ = step_cap(st, acts)
     t.engine.params = t.engine.params._replace(contact_capacity=None)
-    st_full, _ = t.step(st, acts)
+    st_full, _ = jax.jit(t.step)(st, acts)
     np.testing.assert_allclose(np.asarray(st_cap.sim.qd),
                                np.asarray(st_full.sim.qd), rtol=0, atol=1e-5)
 
