@@ -153,10 +153,14 @@ def hex_nut_mesh(width_flats: float, height: float, hole_radius: float):
     """Hex nut solid (M-series: hexagonal prism with a through-bore), the
     mesh-accurate replacement for the box nut proxy (reference nut OBJ assets,
     docs/factory.md §Collisions and Contacts).  The bore is a hexagonal prism
-    inscribed in ``hole_radius`` (same angular sampling as the outer wall so
+    CIRCUMSCRIBED about ``hole_radius`` (flats at hole_radius, corners at
+    hole_radius/cos(30°)) so the solid clears a shank of that radius — an
+    inscribed bore put the flats at 0.866*hole_radius, geometrically
+    interpenetrating the bolt (same 6-angle sampling as the outer wall so
     the annuli stitch watertight)."""
     circum = width_flats / np.sqrt(3.0)     # across-flats -> across-corners/2
-    v, t = tube_mesh(circum, hole_radius, height / 2.0, n=6)
+    bore_circum = hole_radius / np.cos(np.pi / 6.0)
+    v, t = tube_mesh(circum, bore_circum, height / 2.0, n=6)
     return v, t
 
 
@@ -171,7 +175,10 @@ def hex_nut_contact_points(width_flats: float, height: float,
     for z in (-hh, hh):
         pts.append(_ring(circum, z, 6))                      # outer corners
         pts.append(_ring(width_flats / 2.0, z, 6, np.pi / 6))  # flat midpoints
-        pts.append(_ring(hole_radius, z, 6))                 # bore rim
+        # bore flat midpoints: the circumscribed bore's closest approach to
+        # the shank is the flats (radius hole_radius, phase pi/6 off the
+        # corner-aligned tube_mesh rings)
+        pts.append(_ring(hole_radius, z, 6, np.pi / 6))
     return np.concatenate(pts).astype(np.float32)
 
 

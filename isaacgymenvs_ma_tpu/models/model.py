@@ -226,6 +226,11 @@ class SceneModel:
     # franka is simulated gravity-free, factory_base.py:132)
     body_gravity: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0))
+    # per-dof Coulomb (dry) friction torque bound, N*m (PhysX
+    # dof_properties['friction'] — e.g. allegro_hand.py:266 sets 0.01);
+    # empty = zeros
+    dof_friction: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))
     # geoms
     geoms: List[Geom] = dataclasses.field(default_factory=list)
     # actors: index ranges over bodies; root body per actor
@@ -528,6 +533,7 @@ class ModelBuilder:
             dof_damping=cat("damping", 0.0),
             dof_spring=cat("spring", 0.0),
             dof_armature=cat("armature", 0.0),
+            dof_friction=cat("friction", 0.0),
             dof_effort_limit=cat("effort_limit", 1e9),
             dof_velocity_limit=vel_limit,
             dof_drive_mode=np.full(nv, DRIVE_NONE, np.int32),
@@ -660,6 +666,8 @@ def compose_scene(parts) -> SceneModel:
                 bd.armature = m.dof_armature[v0:v1].copy()
                 bd.effort_limit = m.dof_effort_limit[v0:v1].copy()
                 bd.velocity_limit = m.dof_velocity_limit[v0:v1].copy()
+                if len(m.dof_friction) == m.nv:
+                    bd.friction = m.dof_friction[v0:v1].copy()
         for g in m.geoms:
             # field-preserving copy (SDF payloads / explicit contact clouds
             # must survive composition)

@@ -79,6 +79,10 @@ class SimParams(NamedTuple):
     max_depenetration_velocity: float = 10.0  # physx cfg parity
     plane_friction: float = 1.0
     plane_restitution: float = 0.0
+    # impacts slower than this along the contact normal don't bounce
+    # (physx bounce_threshold_velocity); restitution itself is per-env/body
+    # via PhysScales.restitution
+    bounce_threshold_velocity: float = 0.2
     # evaluate the articulation inertia/mass-matrix chain once per control
     # step and reuse across substeps (PhysX evaluates articulation inertia
     # once per step the same way); the chain drifts O(h*qd) within a step.
@@ -337,6 +341,12 @@ class PhysicsEngine:
         self.dof_has_limit = jnp.asarray(m.dof_has_limit)
         self.dof_effort_limit = f32(m.dof_effort_limit)
         self.dof_velocity_limit = f32(m.dof_velocity_limit)
+        # per-dof Coulomb friction torque (PhysX dof_properties['friction'])
+        dfr = np.asarray(getattr(m, "dof_friction", np.zeros(0)))
+        if len(dfr) != m.nv:
+            dfr = np.zeros(m.nv)
+        self.dof_friction = f32(dfr)
+        self.has_dof_friction = bool(np.any(dfr > 0.0))
         self.dof_stiffness = f32(m.dof_stiffness)
         self.dof_drive_damping = f32(m.dof_drive_damping)
         self.dof_drive_mode = np.asarray(m.dof_drive_mode)
@@ -766,22 +776,59 @@ class PhysicsEngine:
         ).astype(f32)
         k_spring = self.dof_spring
         d_damp = self.dof_damping
+        armature = self.dof_armature
+        eff_lim = self.dof_effort_limit
+        jfric = self.dof_friction
+        lo_shift = hi_shift = restitution = None
         if phys is not None:  # DR dof-property scaling (dr_utils.py:148-208)
             kp_drive = kp_drive * phys.stiffness
             kd_drive = kd_drive * phys.damping
             d_damp = d_damp * phys.damping
+            # dextreme-ADR dof-property families (dof_properties.{armature,
+            # effort,friction,lower,upper}.range + shape restitution)
+            a_s = getattr(phys, "armature", None)
+            if a_s is not None:
+                armature = armature * a_s
+            e_s = getattr(phys, "effort", None)
+            if e_s is not None:
+                eff_lim = eff_lim * e_s
+            jf_s = getattr(phys, "joint_friction", None)
+            if jf_s is not None:
+                jfric = jfric * jf_s
+            lo_shift = getattr(phys, "dof_lower_shift", None)
+            hi_shift = getattr(phys, "dof_upper_shift", None)
+            restitution = getattr(phys, "restitution", None)
 
         tau = ctrl.tau
         # clamp applied efforts like PhysX does
-        tau = jnp.clip(tau, -self.dof_effort_limit, self.dof_effort_limit)
+        tau = jnp.clip(tau, -eff_lim, eff_lim)
         rhs = tau if use_kernel else tau - C
         rhs = rhs - k_spring * (qpos_dof + h * qd) - d_damp * qd
+        if self.has_dof_friction or jfric is not self.dof_friction:
+            # joint dry friction: smooth Coulomb (mu * tanh(qd/v0)); the
+            # linearization at qd=0 (mu/v0) joins the implicit diagonal so
+            # the stiction band is stable at any mu
+            v0 = 0.05
+            rhs = rhs - jfric * jnp.tanh(qd / v0)
+        # PD drive force with PhysX's per-dof drive-force limit
+        # (dof_props['effort'] clamps the DRIVE, not just applied forces —
+        # the reference relies on this: AllegroHand kp=3 position drives are
+        # clamped to 0.5 N*m, allegro_hand.py:263-266; unclamped they are
+        # ~12x stronger and slap the cube instead of manipulating it).
+        # Saturated dofs switch from the implicit PD formulation to an
+        # explicit clamped force and drop their kp/kd stiffening from the
+        # solve diagonal (an implicit drive pinned at its force limit no
+        # longer stiffens the joint).
+        drive = jnp.zeros_like(rhs)
         if ctrl.pos_target is not None:
-            rhs = rhs + kp_drive * (ctrl.pos_target - qpos_dof - h * qd)
+            drive = drive + kp_drive * (ctrl.pos_target - qpos_dof - h * qd)
         if ctrl.vel_target is not None:
-            rhs = rhs + kd_drive * (ctrl.vel_target - qd)
+            drive = drive + kd_drive * (ctrl.vel_target - qd)
         else:
-            rhs = rhs - kd_drive * qd
+            drive = drive - kd_drive * qd
+        drive_sat = jnp.abs(drive) > eff_lim
+        rhs = rhs + jnp.clip(drive, -eff_lim, eff_lim)
+        imp = jnp.where(drive_sat, 0.0, 1.0)
         # external body wrenches -> generalized forces
         if ctrl.f_ext is not None:
             # f_ext per body about its own origin -> about world origin
@@ -790,7 +837,10 @@ class PhysicsEngine:
             f_o = jnp.concatenate([n_o, f_b], axis=-1)         # (N, nb, 6)
             rhs = rhs + jnp.einsum("nvd,vb,nbd->nv", S, self.dof_body_mask_f, f_o)
 
-        diag = self.dof_armature + h * (d_damp + kd_drive) + h * h * (k_spring + kp_drive)
+        diag = (armature + h * d_damp + h * h * k_spring
+                + imp * (h * kd_drive + h * h * kp_drive))
+        if self.has_dof_friction or jfric is not self.dof_friction:
+            diag = diag + h * jfric / 0.05
         if use_kernel:
             rhs = jnp.broadcast_to(rhs, (N, self.nv)).astype(f32)
             diag_b = jnp.broadcast_to(diag, (N, self.nv)).astype(f32)
@@ -825,9 +875,11 @@ class PhysicsEngine:
                 None if phys is None else phys.friction,
                 grab_active=ctrl.grab_active, shape_scale=shape_scale,
                 hinv_bl=cache_out[2] if use_kernel else None, warm=warm,
-                ccache=contact_cache, qd_geom=qd)
+                ccache=contact_cache, qd_geom=qd,
+                lo_shift=lo_shift, hi_shift=hi_shift, restitution=restitution)
         else:
-            qd_new = self._limit_solve(qd_new, Hinv, qpos_dof)
+            qd_new = self._limit_solve(qd_new, Hinv, qpos_dof,
+                                       lo_shift=lo_shift, hi_shift=hi_shift)
             p_w = None
 
         # velocity limits (PhysX clamps dof velocities)
@@ -1101,7 +1153,8 @@ class PhysicsEngine:
     def _contact_solve(self, qd, body_x, body_q, S, Hinv, qpos_dof, terrain,
                        friction_scale=None, grab_active=None,
                        shape_scale=None, hinv_bl=None, warm=None,
-                       ccache=None, qd_geom=None):
+                       ccache=None, qd_geom=None,
+                       lo_shift=None, hi_shift=None, restitution=None):
         """Projected-Jacobi impulse solve for plane contacts + joint limits.
 
         ``hinv_bl``: optional batch-last H^-1 from the dynamics kernel — its
@@ -1140,6 +1193,8 @@ class PhysicsEngine:
         # splitting is likewise XLA-loop-only.
         kernel_on = kernel_on and not (warm is not None and pr.warm_start > 0)
         kernel_on = kernel_on and not pr.mass_splitting
+        # restitution needs the post-J bounce-target lift the kernel lacks
+        kernel_on = kernel_on and restitution is None
         use_kernel = (kernel_on and hinv_bl is not None
                       and n_ground + self.n_pair_rows > 0
                       and ck.supports(
@@ -1173,7 +1228,12 @@ class PhysicsEngine:
                 phi = p[..., 2] - rad - ground_z                   # (N, P)
                 mu = self.gnd_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
                 if friction_scale is not None:
-                    mu = mu * friction_scale
+                    # (N, nb) per-body scale: gather at each row's body;
+                    # (N, 1) legacy global scale broadcasts as before
+                    if friction_scale.shape[-1] == self.nb:
+                        mu = mu * friction_scale[:, self.gnd_body]
+                    else:
+                        mu = mu * friction_scale
             else:
                 p = phi = mu = rad = None
             # ---- body-pair rows: contact frames stay separate from J — the
@@ -1186,7 +1246,14 @@ class PhysicsEngine:
                 pp, pphi, pmu, pmask, pn = self._pair_rows(body_x, body_q,
                                                            shape_scale)
                 if friction_scale is not None:
-                    pmu = pmu * friction_scale  # per-env DR friction
+                    if friction_scale.shape[-1] == self.nb:
+                        # combine endpoint-body scales (PhysX average mode)
+                        pa = self.row_body_a[n_ground:]
+                        pb = self.row_body_b[n_ground:]
+                        pmu = pmu * 0.5 * (friction_scale[:, pa]
+                                           + friction_scale[:, pb])
+                    else:
+                        pmu = pmu * friction_scale  # per-env DR friction
                 frame = self._tangent_frame(pn)                # (N, K, 3, 3)
                 if phi is None:
                     p, phi, mu = pp, pphi, pmu
@@ -1216,10 +1283,30 @@ class PhysicsEngine:
             b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
             # cap the push-out velocity (PhysX max_depenetration_velocity)
             b_n = jnp.minimum(b_n, pr.max_depenetration_velocity)
+            # per-row restitution (PhysX average combine; plane rows combine
+            # with the plane's restitution).  The bounce target itself needs
+            # the pre-solve normal velocity, added after J is built.
+            e_rows = None
+            if restitution is not None and phi.shape[1]:
+                if restitution.shape[-1] == self.nb:
+                    rb = jnp.asarray(self.row_body_b)
+                    ea = restitution[:, self.row_body_a]
+                    eb = jnp.where(
+                        rb[None, :] >= 0,
+                        restitution[:, np.maximum(self.row_body_b, 0)],
+                        jnp.asarray(pr.plane_restitution, phi.dtype))
+                    e_rows = 0.5 * (ea + eb)
+                else:
+                    e_rows = jnp.broadcast_to(restitution, phi.shape)
 
-        # joint limit rows
-        lo_gap = qpos_dof - self.dof_lower                     # >= 0 when inside
-        hi_gap = self.dof_upper - qpos_dof
+        # joint limit rows (per-env additive limit shifts: dextreme-ADR
+        # dof_properties.lower/upper ranges)
+        lo_lim = (self.dof_lower if lo_shift is None
+                  else self.dof_lower + lo_shift)
+        hi_lim = (self.dof_upper if hi_shift is None
+                  else self.dof_upper + hi_shift)
+        lo_gap = qpos_dof - lo_lim                             # >= 0 when inside
+        hi_gap = hi_lim - qpos_dof
         lim_mask = jnp.asarray(self.dof_has_limit)
         b_lo = -pr.baumgarte / h * jnp.minimum(lo_gap, 0.0)
         b_hi = -pr.baumgarte / h * jnp.minimum(hi_gap, 0.0)
@@ -1327,6 +1414,8 @@ class PhysicsEngine:
                     sel, x, (((2,), (1,)), ((0,), (0,))),
                     precision=jax.lax.Precision.HIGHEST)
                 b_n = take(b_n)
+                if e_rows is not None:
+                    e_rows = take(e_rows)
                 mu = take(jnp.broadcast_to(mu, phi.shape))
                 active = take(active.astype(qd.dtype)) > 0.5
                 p_rows = take(p.reshape(N, P_all, 3))
@@ -1357,6 +1446,15 @@ class PhysicsEngine:
                     J_flat, Hinv, (((2,), (1,)), ((0,), (0,))),
                     precision=_SOLVER)                          # (N, 3R, nv)
                 w_diag = self._w_diag(J_flat, HinvJ_flat, N, R_rows, nv)
+                if e_rows is not None:
+                    # restitution bounce target: outgoing normal velocity at
+                    # least e * (impact speed - bounce threshold)
+                    v_n_pre = jax.lax.dot_general(
+                        J_flat, qd, (((2,), (1,)), ((0,), (0,))),
+                        precision=_SOLVER).reshape(N, R_rows, 3)[..., 2]
+                    b_n = jnp.maximum(
+                        b_n, e_rows * jnp.maximum(
+                            -v_n_pre - pr.bounce_threshold_velocity, 0.0))
             lam = jnp.zeros((N, R_rows, 3), qd.dtype)
             lam_lo = jnp.zeros_like(qd)
             lam_hi = jnp.zeros_like(qd)
@@ -1404,6 +1502,14 @@ class PhysicsEngine:
             b_n = jnp.minimum(
                 -pr.baumgarte / h * jnp.minimum(phi_rows + pr.contact_slop, 0.0),
                 pr.max_depenetration_velocity)
+            e_rows = cc.get("e_rows")
+            if e_rows is not None:
+                v_n_pre = jax.lax.dot_general(
+                    J_flat, qd, (((2,), (1,)), ((0,), (0,))),
+                    precision=_SOLVER).reshape(N, R_rows, 3)[..., 2]
+                b_n = jnp.maximum(
+                    b_n, e_rows * jnp.maximum(
+                        -v_n_pre - pr.bounce_threshold_velocity, 0.0))
             # impulse continuation from the previous substep (masked to
             # still-active rows; velocity offset applied after the loop
             # helpers are defined below)
@@ -1649,7 +1755,7 @@ class PhysicsEngine:
                     sel=sel, J_flat=J_flat, HinvJ_flat=HinvJ_flat,
                     w_diag=w_diag, frames_rows=frames_rows, mu=mu,
                     p_full=p, p_rows=p_rows, phi_rows=phi_rows,
-                    rad_rows=rad_rows, is_gnd=is_gnd)
+                    rad_rows=rad_rows, is_gnd=is_gnd, e_rows=e_rows)
             else:
                 ccache_out = dict(ccache, p_rows=p_rows, phi_rows=phi_rows)
             ccache_out.update(lam=lam, lam_lo=lam_lo, lam_hi=lam_hi)
@@ -1669,15 +1775,17 @@ class PhysicsEngine:
             warm_out = (lam, lam_lo, lam_hi)
         return qd, imp_world, p, imp_dof, warm_out, ccache_out
 
-    def _limit_solve(self, qd, Hinv, qpos_dof):
+    def _limit_solve(self, qd, Hinv, qpos_dof, lo_shift=None, hi_shift=None):
         """Joint-limit-only solve for contact-free scenes (e.g. Cartpole)."""
         if not bool(np.any(np.asarray(self.model.dof_has_limit))):
             return qd
         pr = self.params
         h = self.h
         lim_mask = jnp.asarray(self.dof_has_limit)
-        lo_gap = qpos_dof - self.dof_lower
-        hi_gap = self.dof_upper - qpos_dof
+        lo = self.dof_lower if lo_shift is None else self.dof_lower + lo_shift
+        hi = self.dof_upper if hi_shift is None else self.dof_upper + hi_shift
+        lo_gap = qpos_dof - lo
+        hi_gap = hi - qpos_dof
         hinv_diag = jnp.maximum(jnp.einsum("nvv->nv", Hinv), 1e-8)
         b_lo = -pr.baumgarte / h * jnp.minimum(lo_gap, 0.0)
         b_hi = -pr.baumgarte / h * jnp.minimum(hi_gap, 0.0)

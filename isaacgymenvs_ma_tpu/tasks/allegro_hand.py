@@ -34,14 +34,24 @@ class AllegroHand(ShadowHand):
     num_hand_actuated = 16
     fingertip_names = FINGERTIPS
     obs_dims = OBS_DIMS
+    # allegro obs layouts have no fingertip-state block (ref
+    # allegro_hand.py compute_full_state: 72:88 is the action history)
+    obs_include_fingertips = False
 
     def create_model(self):
         from ..models.specs.allegro_hand import SPEC
         hand = model_from_spec(copy.deepcopy(SPEC))
+        # reference dof-prop override (allegro_hand.py:263-267): kp 3,
+        # kd 0.1, DRIVE force limit 0.5 N*m, joint friction 0.01,
+        # armature 0.001 — the force limit is what makes kp=3 position
+        # drives gentle enough to manipulate rather than slap
+        hand.dof_friction = np.full(hand.nv, 0.01)
         for d in range(hand.nv):
             hand.dof_drive_mode[d] = DRIVE_POS
             hand.dof_stiffness[d] = 3.0
             hand.dof_drive_damping[d] = 0.1
+            hand.dof_effort_limit[d] = 0.5
+            hand.dof_armature[d] = 0.001
         # contact approximations: palm box + fingertip spheres.
         # palm_link frame (measured from the URDF mesh bbox + fk at q=0):
         # the palm body mesh occupies z in [-0.098, 0], fingers attach at

@@ -44,51 +44,77 @@ from .shadow_hand import HandTaskState
 
 MAX_ACTION_LATENCY = 8   # action-history depth (policy steps)
 
-# ADR parameter tree — reference names/ranges/limits/deltas from
-# cfg/task/AllegroHandDextremeADR.yaml:250-422, each wired to a TPU-native
-# effect (per-dof drive scales, per-body mass scales, contact friction,
-# affine obs/action noise, action latency, cube-pose camera refresh, RNA).
-# Tasks can override the whole tree via the task config's ``adr`` section.
+# ADR parameter tree — the full 27-parameter reference tree with the
+# reference's own init ranges / limits / deltas
+# (cfg/task/AllegroHandDextremeADR.yaml:250-422).  Each name is wired to a
+# TPU-native effect: per-dof drive/property scales and limit shifts, per-body
+# mass/friction/restitution, affine obs/action corruption (a*x + b + c),
+# action latency, cube-pose camera refresh, RNA.  Tasks can override the
+# whole tree via the task config's ``adr`` section.
 DEFAULT_ADR_PARAMS = {
-    # hand dof properties (multiplicative scales on the allegro drives)
-    "hand_damping": {"init_range": [0.9, 1.1], "limits": [0.3, 3.0],
-                     "delta": 0.02},
-    "hand_stiffness": {"init_range": [0.9, 1.1], "limits": [0.3, 3.0],
-                       "delta": 0.02},
-    "hand_mass": {"init_range": [0.9, 1.1], "limits": [0.4, 2.0],
-                  "delta": 0.02},
-    # object physical properties
-    "object_mass": {"init_range": [0.9, 1.1], "limits": [0.4, 2.0],
-                    "delta": 0.02},
-    "object_friction": {"init_range": [0.9, 1.1], "limits": [0.3, 2.0],
-                        "delta": 0.02},
-    # affine observation / action corruption (OAI-style: _additive sampled
-    # once per episode, _white per step; values are gaussian stds)
-    "affine_action_white": {"init_range": [0.0, 0.04], "limits": [0.0, 0.4],
+    # hand dof properties (scales on the allegro drive/dof values; lower/
+    # upper are ADDITIVE limit shifts in radians)
+    "hand_damping": {"init_range": [0.5, 2.0], "limits": [0.01, 20.0],
+                     "delta": 0.01},
+    "hand_stiffness": {"init_range": [0.8, 1.2], "limits": [0.01, 20.0],
+                       "delta": 0.01},
+    "hand_joint_friction": {"init_range": [0.8, 1.2], "limits": [0.0, 10.0],
                             "delta": 0.01},
-    "affine_action_additive": {"init_range": [0.0, 0.04],
-                               "limits": [0.0, 0.4], "delta": 0.01},
-    "affine_cube_pose_white": {"init_range": [0.0, 0.005],
-                               "limits": [0.0, 0.04], "delta": 0.002},
-    "affine_cube_pose_additive": {"init_range": [0.0, 0.005],
-                                  "limits": [0.0, 0.04], "delta": 0.002},
-    "affine_cube_rot_white": {"init_range": [0.0, 0.02],
-                              "limits": [0.0, 0.3], "delta": 0.01},
-    "affine_dof_pos_white": {"init_range": [0.0, 0.005],
-                             "limits": [0.0, 0.04], "delta": 0.002},
-    "affine_dof_pos_additive": {"init_range": [0.0, 0.005],
-                                "limits": [0.0, 0.04], "delta": 0.002},
-    # action latency (policy steps held in the action-history ring)
+    "hand_armature": {"init_range": [0.8, 1.2], "limits": [0.0, 10.0],
+                      "delta": 0.01},
+    "hand_effort": {"init_range": [0.9, 1.1], "limits": [0.4, 10.0],
+                    "delta": 0.01},
+    "hand_lower": {"init_range": [0.0, 0.0], "limits": [-5.0, 5.0],
+                   "delta": 0.02},
+    "hand_upper": {"init_range": [0.0, 0.0], "limits": [-5.0, 5.0],
+                   "delta": 0.02},
+    "hand_mass": {"init_range": [0.8, 1.2], "limits": [0.01, 10.0],
+                  "delta": 0.01},
+    "hand_friction_fingertips": {"init_range": [0.9, 1.1],
+                                 "limits": [0.1, 2.0], "delta": 0.01},
+    "hand_restitution": {"init_range": [0.0, 0.1], "limits": [0.0, 1.0],
+                         "delta": 0.01},
+    # object physical properties
+    "object_mass": {"init_range": [0.8, 1.2], "limits": [0.01, 10.0],
+                    "delta": 0.01},
+    "object_friction": {"init_range": [0.4, 0.8], "limits": [0.01, 2.0],
+                        "delta": 0.01},
+    "object_restitution": {"init_range": [0.0, 0.1], "limits": [0.0, 1.0],
+                           "delta": 0.01},
+    # cube-pose camera model: inverse refresh rate + extra-delay chance
+    "cube_obs_delay_prob": {"init_range": [0.0, 0.05], "limits": [0.0, 0.7],
+                            "delta": 0.01},
+    "cube_pose_refresh_rate": {"init_range": [1.0, 1.0], "limits": [1.0, 6.0],
+                               "delta": 0.2},
+    # action latency (policy steps held in the action-history ring; the
+    # reference allows up to 60 — the TPU ring is statically sized, so the
+    # effective ceiling is the ring depth)
+    "action_delay_prob": {"init_range": [0.0, 0.05], "limits": [0.0, 0.7],
+                          "delta": 0.01},
     "action_latency": {"init_range": [0.0, 0.0],
                        "limits": [0.0, float(MAX_ACTION_LATENCY - 2)],
                        "delta": 0.1},
-    "action_delay_prob": {"init_range": [0.0, 0.05], "limits": [0.0, 0.7],
-                          "delta": 0.01},
-    # cube-pose camera model: inverse refresh rate + extra-delay chance
-    "cube_pose_refresh_rate": {"init_range": [1.0, 1.0], "limits": [1.0, 6.0],
-                               "delta": 0.2},
-    "cube_obs_delay_prob": {"init_range": [0.0, 0.05], "limits": [0.0, 0.7],
+    # affine corruption a*x + b + c (OAI-style): _scaling is the std of the
+    # per-episode multiplicative coefficient (a ~ N(1, std)), _additive the
+    # per-episode bias std, _white the per-step noise std
+    "affine_action_scaling": {"init_range": [0.0, 0.0], "limits": [0.0, 4.0],
+                              "delta": 0.0},
+    "affine_action_additive": {"init_range": [0.0, 0.04],
+                               "limits": [0.0, 4.0], "delta": 0.01},
+    "affine_action_white": {"init_range": [0.0, 0.04], "limits": [0.0, 4.0],
                             "delta": 0.01},
+    "affine_cube_pose_scaling": {"init_range": [0.0, 0.0],
+                                 "limits": [0.0, 4.0], "delta": 0.0},
+    "affine_cube_pose_additive": {"init_range": [0.0, 0.04],
+                                  "limits": [0.0, 4.0], "delta": 0.01},
+    "affine_cube_pose_white": {"init_range": [0.0, 0.04],
+                               "limits": [0.0, 4.0], "delta": 0.01},
+    "affine_dof_pos_scaling": {"init_range": [0.0, 0.0],
+                               "limits": [0.0, 4.0], "delta": 0.0},
+    "affine_dof_pos_additive": {"init_range": [0.0, 0.04],
+                                "limits": [0.0, 4.0], "delta": 0.01},
+    "affine_dof_pos_white": {"init_range": [0.0, 0.04],
+                             "limits": [0.0, 4.0], "delta": 0.01},
     # RandomNetworkAdversary blend weight
     "rna_alpha": {"init_range": [0.0, 0.0], "limits": [0.0, 1.0],
                   "delta": 0.01},
@@ -113,13 +139,13 @@ TASK_CFG = deep_merge(ALLEGRO_CFG, {
         "rnaRefreshInterval": 600,
         "actionNoise": 0.02,
     },
-    # reference adr section (AllegroHandDextremeADR.yaml:227-422)
+    # reference adr section values (AllegroHandDextremeADR.yaml:227-247)
     "adr": {
         "use_adr": True,
         "worker_adr_boundary_fraction": 0.4,
-        "adr_queue_threshold_length": 128,
-        "adr_objective_threshold_low": 1.0,
-        "adr_objective_threshold_high": 3.0,
+        "adr_queue_threshold_length": 256,
+        "adr_objective_threshold_low": 5.0,
+        "adr_objective_threshold_high": 20.0,
         "params": DEFAULT_ADR_PARAMS,
     },
 })
@@ -136,6 +162,10 @@ class DextremeTaskState(NamedTuple):
     act_bias: jax.Array                 # (N, A) per-episode action bias
     cube_pos_bias: jax.Array            # (N, 3) per-episode cube-pos bias
     dof_bias: jax.Array                 # (N, nh) per-episode dof-obs bias
+    # per-episode multiplicative corruption a ~ N(1, affine_*_scaling std)
+    act_scale: jax.Array                # (N, A)
+    cube_pos_scale: jax.Array           # (N, 3)
+    dof_scale: jax.Array                # (N, nh)
     held_pos: jax.Array                 # (N, 3) last refreshed cube pos obs
     held_rot: jax.Array                 # (N, 4)
     pose_counter: jax.Array             # (N,) steps until next pose refresh
@@ -234,6 +264,9 @@ class AllegroHandDextremeManualDR(AllegroHand):
             act_bias=jnp.zeros((n, self.num_actions), jnp.float32),
             cube_pos_bias=jnp.zeros((n, 3), jnp.float32),
             dof_bias=jnp.zeros((n, nh), jnp.float32),
+            act_scale=jnp.ones((n, self.num_actions), jnp.float32),
+            cube_pos_scale=jnp.ones((n, 3), jnp.float32),
+            dof_scale=jnp.ones((n, nh), jnp.float32),
             held_pos=jnp.zeros((n, 3), jnp.float32),
             held_rot=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]), (n, 1)),
             pose_counter=jnp.zeros((n,), jnp.float32))
@@ -260,8 +293,10 @@ class AllegroHandDextremeManualDR(AllegroHand):
         sel = jax.nn.one_hot(lat.astype(jnp.int32), MAX_ACTION_LATENCY,
                              dtype=actions.dtype)
         actions = jnp.einsum("nl,nla->na", sel, act_hist)
-        # ---- affine corruption: per-episode additive bias + white noise
-        actions = actions + task.act_bias + mags["action_noise"][:, None] * \
+        # ---- affine corruption a*x + b + c: per-episode scale + bias,
+        # per-step white noise
+        actions = task.act_scale * actions + task.act_bias \
+            + mags["action_noise"][:, None] * \
             jax.random.normal(k_n, actions.shape)
         if self.rna_enabled:
             dof_pos = self.engine.dof_pos(state.sim)[:, : self.num_hand_dofs]
@@ -290,18 +325,28 @@ class AllegroHandDextremeManualDR(AllegroHand):
         # per-episode affine biases, sampled with the (possibly adaptive)
         # _additive stds; action ring and camera hold restart
         n = self.num_envs
-        ks = jax.random.split(jax.random.fold_in(key, 23), 3)
+        ks = jax.random.split(jax.random.fold_in(key, 23), 6)
         act_bias = self._adr_value(task, "affine_action_additive")[:, None] \
             * jax.random.normal(ks[0], (n, self.num_actions))
         pos_bias = self._adr_value(task, "affine_cube_pose_additive")[:, None] \
             * jax.random.normal(ks[1], (n, 3))
         dof_bias = self._adr_value(task, "affine_dof_pos_additive")[:, None] \
             * jax.random.normal(ks[2], (n, self.num_hand_dofs))
+        # per-episode multiplicative coefficients (affine a*x + b + c)
+        act_scale = 1.0 + self._adr_value(task, "affine_action_scaling")[:, None] \
+            * jax.random.normal(ks[3], (n, self.num_actions))
+        pos_scale = 1.0 + self._adr_value(task, "affine_cube_pose_scaling")[:, None] \
+            * jax.random.normal(ks[4], (n, 3))
+        dof_scale = 1.0 + self._adr_value(task, "affine_dof_pos_scaling")[:, None] \
+            * jax.random.normal(ks[5], (n, self.num_hand_dofs))
         task = task._replace(
             act_hist=jnp.where(mask[:, None, None], 0.0, task.act_hist),
             act_bias=masked_update(mask, act_bias, task.act_bias),
             cube_pos_bias=masked_update(mask, pos_bias, task.cube_pos_bias),
             dof_bias=masked_update(mask, dof_bias, task.dof_bias),
+            act_scale=masked_update(mask, act_scale, task.act_scale),
+            cube_pos_scale=masked_update(mask, pos_scale, task.cube_pos_scale),
+            dof_scale=masked_update(mask, dof_scale, task.dof_scale),
             pose_counter=jnp.where(mask, 0.0, task.pose_counter))
         return sim, task
 
@@ -323,7 +368,7 @@ class AllegroHandDextremeManualDR(AllegroHand):
                             mags["cube_pos_noise"])
         rot_std = jnp.where(unreliable, self.unreliable_rot_jump,
                             mags["cube_rot_noise"])
-        noisy_pos = obj_pos + task.cube_pos_bias \
+        noisy_pos = task.cube_pos_scale * obj_pos + task.cube_pos_bias \
             + pos_std[:, None] * jax.random.normal(ks[1], (n, 3))
         axis = jax.random.normal(ks[2], (n, 3))
         axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True),
@@ -357,7 +402,8 @@ class AllegroHandDextremeManualDR(AllegroHand):
                                     (n, 3))
         rel = maths.quat_mul(held_rot, maths.quat_conjugate(hand.goal_rot))
         k_dof = jax.random.fold_in(state.rng, 17)
-        dof_obs = maths.unscale(dof_pos, self.dof_lower, self.dof_upper) \
+        dof_obs = task.dof_scale \
+            * maths.unscale(dof_pos, self.dof_lower, self.dof_upper) \
             + task.dof_bias \
             + self._adr_value(task, "affine_dof_pos_white")[:, None] \
             * jax.random.normal(k_dof, (n, nh))
@@ -421,8 +467,15 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
         self._hand_body_mask = jnp.asarray(hand_body)
         self._obj_body_mask = jnp.asarray(
             np.eye(nb, dtype=np.float32)[obj_body])
+        ft = np.zeros(nb, np.float32)
+        ft[np.asarray(self.fingertip_bodies)] = 1.0
+        self._fingertip_body_mask = jnp.asarray(ft)
 
     def _adr_value(self, task: DextremeTaskState, name: str) -> jax.Array:
+        # the reference's affine_cube_pose_* family corrupts the full pose;
+        # the ManualDR-era rot-noise name rides the same adaptive std
+        if name == "affine_cube_rot_white":
+            name = "affine_cube_pose_white"
         if task.adr_params is not None and name in self._adr_idx:
             return task.adr_params[:, self._adr_idx[name]]
         return super()._adr_value(task, name)
@@ -434,23 +487,49 @@ class AllegroHandDextremeADR(AllegroHandDextremeManualDR):
         return base._replace(adr=st, adr_params=params)
 
     def initial_phys(self, key=None):
-        return PhysScales.ones(self.num_envs)
+        """Must mirror :meth:`update_phys`'s pytree structure AND shapes —
+        the PPO rollout scan carries EnvState.phys, so a (N, 1) ones
+        placeholder against (N, nb)/(N, nv) updated fields breaks the carry
+        (latent since round 1; surfaced by the round-3 ADR families)."""
+        import types
+        st = self.adr.init()
+        params = self.adr.sample(jax.random.PRNGKey(3), st)
+        shim = types.SimpleNamespace(task=types.SimpleNamespace(
+            adr_params=params))
+        return self.update_phys(shim, None, None)
 
     def update_phys(self, state: EnvState, reset_mask, key):
-        """Per-property engine scales from the sampled tree: hand drive
-        damping/stiffness on the hand dofs, per-body mass for hand vs
-        object, object contact friction."""
+        """Per-property engine values from the sampled tree (the full
+        reference dof_properties / rigid_body / rigid_shape families):
+        drive damping/stiffness/effort + joint friction/armature scales and
+        additive limit shifts on the hand dofs, per-body mass for hand vs
+        object, per-body contact friction (fingertips vs object) and
+        restitution values."""
         t = state.task
 
         def v(name):
             return self._adr_value(t, name)[:, None]
 
-        damping = 1.0 + (v("hand_damping") - 1.0) * self._hand_dof_mask
-        stiffness = 1.0 + (v("hand_stiffness") - 1.0) * self._hand_dof_mask
-        mass = (1.0 + (v("hand_mass") - 1.0) * self._hand_body_mask
-                + (v("object_mass") - 1.0) * self._obj_body_mask)
-        return PhysScales(mass=mass, damping=damping, stiffness=stiffness,
-                          friction=v("object_friction"))
+        hd, hb, ob = (self._hand_dof_mask, self._hand_body_mask,
+                      self._obj_body_mask)
+        damping = 1.0 + (v("hand_damping") - 1.0) * hd
+        stiffness = 1.0 + (v("hand_stiffness") - 1.0) * hd
+        mass = (1.0 + (v("hand_mass") - 1.0) * hb
+                + (v("object_mass") - 1.0) * ob)
+        friction = (1.0
+                    + (v("hand_friction_fingertips") - 1.0)
+                    * self._fingertip_body_mask
+                    + (v("object_friction") - 1.0) * ob)
+        restitution = v("hand_restitution") * hb + v("object_restitution") * ob
+        return PhysScales(
+            mass=mass, damping=damping, stiffness=stiffness,
+            friction=friction,
+            joint_friction=1.0 + (v("hand_joint_friction") - 1.0) * hd,
+            armature=1.0 + (v("hand_armature") - 1.0) * hd,
+            effort=1.0 + (v("hand_effort") - 1.0) * hd,
+            dof_lower_shift=v("hand_lower") * hd,
+            dof_upper_shift=v("hand_upper") * hd,
+            restitution=restitution)
 
     def reset_idx(self, sim: SimState, task: DextremeTaskState, mask, key):
         # resample the per-env parameter row FIRST so the per-episode

@@ -115,6 +115,10 @@ TASK_CFG = {
             "num_threads": 4, "solver_type": 1, "use_gpu": True,
             "num_position_iterations": 4, "num_velocity_iterations": 1,
             "contact_capacity": 16,  # as Anymal
+            # the decimation fold widens the substep window to 20 ms; a
+            # mass matrix reused that long is stale at trot rates — force a
+            # fresh articulation-inertia evaluation per 5 ms tick
+            "reuse_mass_matrix": False,
             "contact_offset": 0.02, "rest_offset": 0.0,
             "bounce_threshold_velocity": 0.2, "max_depenetration_velocity": 100.0,
             "default_buffer_size_multiplier": 5.0,

@@ -71,9 +71,15 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         warm_start=float(physx.get("warm_start", 0.0)),
         max_depenetration_velocity=float(
             physx.get("max_depenetration_velocity", 10.0)),
+        bounce_threshold_velocity=float(
+            physx.get("bounce_threshold_velocity", 0.2)),
         # reuse the mass-matrix chain across substeps (IGMA_MM_REUSE=0 opts
-        # out to exact per-substep evaluation)
-        reuse_mass_matrix=os.environ.get("IGMA_MM_REUSE", "1") == "1",
+        # out to exact per-substep evaluation); per-task config override
+        # wins (AnymalTerrain folds decimation into substeps, stretching
+        # the reuse window to 20 ms — it opts out)
+        reuse_mass_matrix=bool(physx.get(
+            "reuse_mass_matrix",
+            os.environ.get("IGMA_MM_REUSE", "1") == "1")),
         # active-set compaction capacity (our static-shape analog of
         # max_gpu_contact_pairs — per-env, not global)
         # explicit null in a config override disables compaction

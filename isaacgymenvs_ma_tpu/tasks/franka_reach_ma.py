@@ -347,4 +347,12 @@ class FrankaReachMA(VecTaskBase):
 
         reset = jnp.where(state.progress >= self.max_episode_length - 1, 1, 0)
         task = FrankaMATaskState(actions=actions)
-        return obs, None, rew, reset.astype(jnp.int32), task, {}
+        # objective diagnostics: the actual cooperative objective is the
+        # fraction of targets covered by a distinct nearest arm (ref
+        # all_touched, franka_reach_MA.py:941-946) and how close the arms
+        # get — without these the shaped-reward plateau is uninterpretable
+        extras = {"episode": {
+            "coverage": jnp.sum(covered, -1) / T,
+            "eef_target_dist": d,
+        }}
+        return obs, None, rew, reset.astype(jnp.int32), task, extras

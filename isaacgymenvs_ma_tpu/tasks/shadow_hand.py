@@ -170,6 +170,7 @@ class ShadowHand(VecTaskBase):
     num_hand_actuated = 20
     fingertip_names = FINGERTIP_BODIES
     obs_dims = OBS_DIMS
+    obs_include_fingertips = True
 
     def __init__(self, cfg):
         e = cfg["env"]
@@ -217,15 +218,39 @@ class ShadowHand(VecTaskBase):
         self.actuated = np.asarray(
             [i for i in range(nh) if i not in self.coupled_distal], np.int32)
 
+    # MJCF position-actuator gains/force limits per driven joint (OpenAI
+    # shared.xml:250-269): wrist kp 5, fingers/thumb kp 1; forcerange is the
+    # DRIVE force limit PhysX enforces (dof_props['effort']).  Keyed by the
+    # dof's child-body name; tendon-coupled distals inherit their middle
+    # joint's values.
+    DRIVE_PARAMS = {
+        "wrist": (5.0, 4.785), "palm": (5.0, 2.175),
+        "ffknuckle": (1.0, 0.9), "ffproximal": (1.0, 0.9),
+        "ffmiddle": (1.0, 0.7245), "ffdistal": (1.0, 0.7245),
+        "mfknuckle": (1.0, 0.9), "mfproximal": (1.0, 0.9),
+        "mfmiddle": (1.0, 0.7245), "mfdistal": (1.0, 0.7245),
+        "rfknuckle": (1.0, 0.9), "rfproximal": (1.0, 0.9),
+        "rfmiddle": (1.0, 0.7245), "rfdistal": (1.0, 0.7245),
+        "lfmetacarpal": (1.0, 0.9), "lfknuckle": (1.0, 0.9),
+        "lfproximal": (1.0, 0.9), "lfmiddle": (1.0, 0.7245),
+        "lfdistal": (1.0, 0.7245),
+        "thbase": (1.0, 2.3722), "thproximal": (1.0, 1.45),
+        "thhub": (1.0, 0.99), "thmiddle": (1.0, 0.99),
+        "thdistal": (1.0, 0.81),
+    }
+
     def create_model(self):
         from ..models.specs.shadow_hand import SPEC
         import copy
         hand = model_from_spec(copy.deepcopy(SPEC))
         # position drives on all hand dofs (OpenAI position actuators)
         for d in range(hand.nv):
+            bname = hand.body_names[int(hand.dof_body[d])].split(":")[-1]
+            kp, eff = self.DRIVE_PARAMS.get(bname, (1.0, 0.9))
             hand.dof_drive_mode[d] = DRIVE_POS
-            hand.dof_stiffness[d] = 3.0
+            hand.dof_stiffness[d] = kp
             hand.dof_drive_damping[d] = 0.1
+            hand.dof_effort_limit[d] = eff
         ob = ModelBuilder()
         ob.begin_actor()
         obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
@@ -385,10 +410,18 @@ class ShadowHand(VecTaskBase):
             if obs_type != "full_no_vel":
                 pieces += [obj_linvel, self.vel_obs_scale * obj_angvel]
             pieces += [jnp.broadcast_to(goal_pos, (n, 3)), goal_rot, quat_diff]
-            pieces.append(ft_state.reshape(n, -1))
-            if obs_type == "full_state":
-                pieces.append(self.force_torque_obs_scale
-                              * out.sensor_forces.reshape(n, -1))
+            # ShadowHand layouts carry fingertip states (+wrenches in
+            # full_state) before the actions (ref shadow_hand.py
+            # compute_full_state); AllegroHand's do NOT — its full_state 88
+            # is exactly dofs+forces+object+goal+quat_diff+actions (ref
+            # allegro_hand.py compute_full_state).  Including them here
+            # pushed the action block past the trim, hiding the policy's
+            # own previous actions from it.
+            if self.obs_include_fingertips:
+                pieces.append(ft_state.reshape(n, -1))
+                if obs_type == "full_state":
+                    pieces.append(self.force_torque_obs_scale
+                                  * out.sensor_forces.reshape(n, -1))
             pieces.append(actions)
             x = jnp.concatenate(pieces, -1)
             # pad/trim to the declared dim (obs-type layouts differ slightly)

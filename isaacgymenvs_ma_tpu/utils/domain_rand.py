@@ -30,7 +30,8 @@ class PhysScales(NamedTuple):
     mass: jax.Array        # (N, 1) or (N, nb)
     damping: jax.Array     # (N, 1) or (N, nv) — passive + drive damping
     stiffness: jax.Array   # (N, 1) or (N, nv) — drive kp
-    friction: jax.Array    # (N, 1) contact friction
+    friction: jax.Array    # (N, 1) global or (N, nb) per-BODY contact
+    #                        friction scale (rows combine endpoint bodies)
     # (N, nb, 3) anisotropic per-body geometry scale (object-dimension DR,
     # reference allegro_kuka/generate_cuboids.py); None = nominal shapes
     shape: Optional[jax.Array] = None
@@ -38,6 +39,18 @@ class PhysScales(NamedTuple):
     # events like the reference's params['corr'] (vec_task.py:686-692)
     obs_corr: Optional[jax.Array] = None   # (N, num_obs)
     act_corr: Optional[jax.Array] = None   # (N, num_actions)
+    # dof-property DR (reference dof_properties.{friction,armature,effort,
+    # lower,upper}.range — dextreme ADR tree): multiplicative scales on the
+    # model's dof friction / armature / drive-force limit, and ADDITIVE
+    # shifts of the joint limits; None = nominal
+    joint_friction: Optional[jax.Array] = None  # (N, 1) or (N, nv) scale
+    armature: Optional[jax.Array] = None        # (N, 1) or (N, nv) scale
+    effort: Optional[jax.Array] = None          # (N, 1) or (N, nv) scale
+    dof_lower_shift: Optional[jax.Array] = None  # (N, 1) or (N, nv) rad
+    dof_upper_shift: Optional[jax.Array] = None  # (N, 1) or (N, nv) rad
+    # per-body restitution VALUES in [0, 1] (rigid_shape_properties
+    # .restitution — PhysX average combine across the pair); None = 0
+    restitution: Optional[jax.Array] = None     # (N, 1) or (N, nb)
 
     @staticmethod
     def ones(n: int) -> "PhysScales":

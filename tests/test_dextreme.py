@@ -68,8 +68,25 @@ def test_step_runs_and_adr_params_in_range(adr_task):
     hd = int(np.asarray(t.hand_dofs)[0])
     assert np.allclose(np.asarray(phys.stiffness[:, hd]),
                        p[:, t._adr_idx["hand_stiffness"]])
-    assert np.allclose(np.asarray(phys.friction[:, 0]),
+    # friction is per-BODY now: the object column carries object_friction,
+    # fingertip columns carry hand_friction_fingertips, other bodies 1
+    assert np.allclose(np.asarray(phys.friction[:, obj_body]),
                        p[:, t._adr_idx["object_friction"]])
+    ftb = int(np.asarray(t.fingertip_bodies)[0])
+    assert np.allclose(np.asarray(phys.friction[:, ftb]),
+                       p[:, t._adr_idx["hand_friction_fingertips"]])
+    assert np.allclose(np.asarray(phys.friction[:, 0]), 1.0)
+    # the round-3 families reach the engine too
+    assert np.allclose(np.asarray(phys.armature[:, hd]),
+                       p[:, t._adr_idx["hand_armature"]])
+    assert np.allclose(np.asarray(phys.effort[:, hd]),
+                       p[:, t._adr_idx["hand_effort"]])
+    assert np.allclose(np.asarray(phys.restitution[:, obj_body]),
+                       p[:, t._adr_idx["object_restitution"]])
+    assert np.allclose(np.asarray(phys.dof_lower_shift[:, hd]),
+                       p[:, t._adr_idx["hand_lower"]])
+    # all 27 reference parameter names are wired
+    assert len(t.adr.cfg.names) == 27
 
 
 def test_adr_checkpoint_roundtrip(adr_task):
