@@ -274,8 +274,13 @@ def body_velocities_bl(plan: DynPlan, S, qd):
     return _path_sum(plan, own), Sqd
 
 
-def bias_force_bl(plan: DynPlan, consts, S, qd, I_O, V_body=None, Sqd=None):
-    """RNEA bias force C (nv, B); mirrors PhysicsEngine.bias_force."""
+def bias_force_bl(plan: DynPlan, consts, S, qd, I_O, V_body=None, Sqd=None,
+                  fg=None):
+    """RNEA bias force C (nv, B); mirrors PhysicsEngine.bias_force.
+
+    ``fg``: fresh per-body gravity wrench (nb, 6, B) — passed on the cached
+    (mass-matrix-reuse) path, where gravity through the STALE I_O's a0 trick
+    would torque every translating floating base by |g|*h*v per substep."""
     if V_body is None:
         V_body, Sqd = body_velocities_bl(plan, S, qd)
     f = S.dtype
@@ -292,9 +297,12 @@ def bias_force_bl(plan: DynPlan, consts, S, qd, I_O, V_body=None, Sqd=None):
     a_cum = _path_sum(plan, xi_body)
     fb = []
     for b in range(plan.nb):
-        a_b = a0[b] + a_cum[b]
+        a_b = (a_cum[b] if fg is not None else a0[b] + a_cum[b])
         Iv = _matvec_bl(I_O[b], V_body[b])
-        fb.append(_matvec_bl(I_O[b], a_b) + _cross_force_bl(V_body[b], Iv))
+        f_b = _matvec_bl(I_O[b], a_b) + _cross_force_bl(V_body[b], Iv)
+        if fg is not None:
+            f_b = f_b + fg[b]
+        fb.append(f_b)
     f_comp = _subtree_sum(plan, fb)
     C = jnp.stack(
         [jnp.sum(S[v] * f_comp[int(plan.dof_body[v])], axis=0)
@@ -328,10 +336,12 @@ def dyn_full_bl(plan: DynPlan, consts, body_x, body_q, S, qd, rhs, diag,
     return qdd, Hinv, I_O
 
 
-def dyn_cached_bl(plan: DynPlan, consts, S, qd, rhs, I_O, Hinv):
-    """Cached chain: reuse (I_O, Hinv) from an earlier substep; only the
-    velocity-dependent bias force refreshes (SimParams.reuse_mass_matrix)."""
-    C = bias_force_bl(plan, consts, S, qd, I_O)
+def dyn_cached_bl(plan: DynPlan, consts, S, qd, rhs, I_O, Hinv, fg):
+    """Cached chain: reuse (I_O, Hinv) from an earlier substep; the
+    velocity-dependent bias force refreshes, and gravity comes through the
+    FRESH wrench ``fg`` rather than the stale I_O
+    (SimParams.reuse_mass_matrix)."""
+    C = bias_force_bl(plan, consts, S, qd, I_O, fg=fg)
     return _matvec_bl(Hinv, rhs - C)
 
 
@@ -460,9 +470,11 @@ def dyn_forward_pallas(engine, body_x, body_q, S, qd, rhs, diag,
     return qdd, Hinv, ("bl", io_bl, hinv_bl, Hinv)
 
 
-def dyn_cached_pallas(engine, S, qd, rhs, cache):
+def dyn_cached_pallas(engine, S, qd, rhs, cache, f_grav):
     """Fused cached-chain kernel: bias refresh + qdd against cached
-    (I_O, Hinv) kept batch-last from dyn_forward_pallas."""
+    (I_O, Hinv) kept batch-last from dyn_forward_pallas.  ``f_grav`` is the
+    fresh (N, nb, 6) gravity wrench (engine.gravity_wrench) — gravity may
+    not ride the cached I_O (stale-com torque; see bias_force_bl)."""
     from jax.experimental import pallas as pl
 
     plan = get_plan(engine)
@@ -476,10 +488,11 @@ def dyn_cached_pallas(engine, S, qd, rhs, cache):
     def kernel(*refs):
         consts = {k: refs[j][...] for j, k in enumerate(const_keys)}
         i = len(const_keys)
-        S_ref, qd_ref, rhs_ref, io_ref, hinv_ref, out_ref = refs[i: i + 6]
+        (S_ref, qd_ref, rhs_ref, io_ref, hinv_ref, fg_ref,
+         out_ref) = refs[i: i + 7]
         out_ref[...] = dyn_cached_bl(
             plan, consts, S_ref[...], qd_ref[...], rhs_ref[...], io_ref[...],
-            hinv_ref[...])
+            hinv_ref[...], fg_ref[...])
 
     lane = lambda *lead: pl.BlockSpec(
         lead + (block,), lambda i: (0,) * len(lead) + (i,))
@@ -488,10 +501,11 @@ def dyn_cached_pallas(engine, S, qd, rhs, cache):
         kernel,
         grid=(N // block,),
         in_specs=[whole(const_np[k].shape) for k in const_keys]
-        + [lane(nv, 6), lane(nv), lane(nv), lane(nb, 6, 6), lane(nv, nv)],
+        + [lane(nv, 6), lane(nv), lane(nv), lane(nb, 6, 6), lane(nv, nv),
+           lane(nb, 6)],
         out_specs=lane(nv),
         out_shape=jax.ShapeDtypeStruct((nv, N), qd.dtype),
         interpret=_FORCE_INTERPRET,
     )(*([jnp.asarray(const_np[k]) for k in const_keys]
-        + [_bl(S), _bl(qd), _bl(rhs), io_bl, hinv_bl]))
+        + [_bl(S), _bl(qd), _bl(rhs), io_bl, hinv_bl, _bl(f_grav)]))
     return jnp.transpose(qdd_bl, (1, 0))

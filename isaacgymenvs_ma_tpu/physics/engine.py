@@ -706,18 +706,50 @@ class PhysicsEngine:
     def _diag_embed(d):
         return jnp.einsum("ni,ij->nij", d, jnp.eye(d.shape[-1], dtype=d.dtype))
 
-    def bias_force(self, S, qd, V, I_O):
-        """RNEA with qdd = 0 and a0 = -g: returns C (N, nv)."""
+    def gravity_wrench(self, body_x, body_q, mass_scale=None,
+                       shape_scale=None):
+        """Per-body gravity spatial force about the world origin, from
+        FRESH kinematics, in the RNEA a0 = -g sign convention (N, nb, 6).
+
+        Exists for the mass-matrix-reuse path: pushing gravity through a
+        CACHED I_O pairs a stale com with the fresh motion subspace, which
+        leaves a residual torque of |g|*h*v per substep on every
+        translating floating base (a sliding sphere visibly spins up;
+        round-3 regression tests/test_physics_core.py pin this)."""
+        m = jnp.broadcast_to(self.mass[None, :], body_x.shape[:2])
+        com = self.com
+        if shape_scale is not None:
+            s = shape_scale.astype(body_x.dtype)
+            m = m * jnp.prod(s, axis=-1)
+            com = com[None] * s
+        c = body_x + maths.quat_apply(
+            body_q, jnp.broadcast_to(com, body_x.shape))
+        if mass_scale is not None:
+            m = m * mass_scale
+        f_lin = (m * self.grav_mask[None, :])[..., None] \
+            * (-self.gravity)[None, None, :]
+        return jnp.concatenate([jnp.cross(c, f_lin), f_lin], -1)
+
+    def bias_force(self, S, qd, V, I_O, f_grav=None):
+        """RNEA with qdd = 0 and a0 = -g: returns C (N, nv).
+
+        ``f_grav``: fresh per-body gravity wrench (gravity_wrench) — REQUIRED
+        whenever I_O is reused from an earlier substep, so gravity torque is
+        taken about the current com, not the cached one.  When None (fresh
+        I_O), gravity rides the a0 trick bit-identically to the original."""
         N = S.shape[0]
-        # per-body gravity mask (asset_options.disable_gravity)
-        a0 = jnp.concatenate(
-            [jnp.zeros(3, S.dtype), -self.gravity]).astype(S.dtype)
-        a0 = a0 * self.grav_mask[:, None]                      # (nb, 6)
         V_dof = jnp.matmul(self.oh_dof_body, V)                # (N, nv, 6)
         xi = self._cross_motion(V_dof, S * qd[..., None])      # (N, nv, 6)
-        a = a0 + jnp.matmul(self.dof_body_mask_f.T, xi)        # (N, nb, 6)
+        a = jnp.matmul(self.dof_body_mask_f.T, xi)             # (N, nb, 6)
+        if f_grav is None:
+            # per-body gravity mask (asset_options.disable_gravity)
+            a0 = jnp.concatenate(
+                [jnp.zeros(3, S.dtype), -self.gravity]).astype(S.dtype)
+            a = a + a0 * self.grav_mask[:, None]
         Iv = jnp.matmul(I_O, V[..., None])[..., 0]
         f = jnp.matmul(I_O, a[..., None])[..., 0] + self._cross_force(V, Iv)
+        if f_grav is not None:
+            f = f + f_grav
         f_sub_dof = jnp.matmul(self.oh_dof_body @ self.body_anc_f, f)
         C = jnp.sum(S * f_sub_dof, axis=-1)
         return C
@@ -759,9 +791,16 @@ class PhysicsEngine:
                     body_x, body_q, None if phys is None else phys.mass,
                     shape_scale)
                 M = self.mass_matrix(S, I_O)
+                C = self.bias_force(S, qd, V, I_O)
             else:
+                # reused I_O: gravity must come from the FRESH com or every
+                # translating floating base picks up |g|*h*v of torque
                 I_O, M, _ = dyn_cache
-            C = self.bias_force(S, qd, V, I_O)
+                C = self.bias_force(
+                    S, qd, V, I_O,
+                    f_grav=self.gravity_wrench(
+                        body_x, body_q,
+                        None if phys is None else phys.mass, shape_scale))
         else:
             V = C = I_O = M = None
 
@@ -849,7 +888,11 @@ class PhysicsEngine:
                     self, body_x, body_q, S, qd, rhs, diag_b,
                     None if phys is None else phys.mass, shape_scale)
             else:
-                qdd = dk.dyn_cached_pallas(self, S, qd, rhs, dyn_cache)
+                qdd = dk.dyn_cached_pallas(
+                    self, S, qd, rhs, dyn_cache,
+                    self.gravity_wrench(
+                        body_x, body_q,
+                        None if phys is None else phys.mass, shape_scale))
                 Hinv = dyn_cache[3]
                 cache_out = dyn_cache
         else:

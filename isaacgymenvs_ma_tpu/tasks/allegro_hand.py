@@ -15,7 +15,7 @@ from ..models.model import (DRIVE_POS, FREE, GEOM_BOX, GEOM_SPHERE, Geom,
                             ModelBuilder, compose_scene, model_from_spec)
 from ..physics.engine import PhysicsEngine
 from ..utils.config import deep_merge
-from .shadow_hand import ShadowHand, TASK_CFG as SH_CFG, HAND_POS, OBJ_START
+from .shadow_hand import ShadowHand, TASK_CFG as SH_CFG
 
 TASK_CFG = deep_merge(SH_CFG, {
     "name": "AllegroHand",
@@ -73,20 +73,52 @@ class AllegroHand(ShadowHand):
                                    pos=np.zeros(3),
                                    quat=np.array([0.0, 0, 0, 1]), friction=1.0,
                                    contact=True, name=f"tip_{n}"))
-        ob = ModelBuilder()
-        ob.begin_actor()
-        obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
-        ob.add_geom(obj, GEOM_BOX, np.full(3, 0.065 / 2), density=400.0,
-                    name="object_geom")
+        # phalanx contact spheres — the reference simulates the full link
+        # collision meshes (allegro_touch_sensor.urdf), so the cube can be
+        # cradled/rolled by ANY part of a finger.  With only 4 tip points
+        # (rounds 1-3a), the resting cube touched nothing but the palm slab
+        # and the learned optimum was to never disturb it: its orientation
+        # stayed frozen for entire episodes.  One mid-link sphere per
+        # proximal/medial segment (links extend along local +x; thumb_link_1
+        # extends along +z) makes the whole finger tangible.
+        for body, off, r in [
+            ("index_link_1", (0.027, 0, 0), 0.0134),
+            ("index_link_2", (0.019, 0, 0), 0.0134),
+            ("middle_link_1", (0.027, 0, 0), 0.0134),
+            ("middle_link_2", (0.019, 0, 0), 0.0134),
+            ("ring_link_1", (0.027, 0, 0), 0.0134),
+            ("ring_link_2", (0.019, 0, 0), 0.0134),
+            ("thumb_link_1", (0.0, 0, 0.0275), 0.0134),
+            ("thumb_link_2", (0.0255, 0, 0), 0.0134),
+        ]:
+            bidx = hand.body_names.index(body)
+            hand.geoms.append(Geom(body=bidx, gtype=GEOM_SPHERE,
+                                   size=np.array([r, 0, 0]),
+                                   pos=np.asarray(off, float),
+                                   quat=np.array([0.0, 0, 0, 1]), friction=1.0,
+                                   contact=True, name=f"pad_{body}"))
         # self-aligning placement: the palmar surface normal is the palm
         # frame's +z (fingers extend distally along +x and curl toward +z) —
         # align it to world up so the palm face is horizontal under the cube
         # (ref allegro_hand.py:283-296 mounts the hand palm-up via the
         # composed axis-angle quat).  Round 2 aligned +x (the finger axis):
         # fingers pointed up, cube balanced on fingertips.
-        from .shadow_hand import _palm_up_placement
+        from .shadow_hand import _palm_up_placement, PALM_TARGET
         base, quat = _palm_up_placement(hand, "palm_box",
                                         np.array([0.0, 0, 1.0]))
+        from ..models.model import _quat_to_mat_np
+        Rq = _quat_to_mat_np(np.asarray(quat, float))
+        # cube over the palm/proximal-link junction (palm-frame +x is
+        # distal; ref spawns at dy=-0.19/dz=+0.06 from the hand root —
+        # over the finger bases, where the resting cube touches the links)
+        self.obj_start = (PALM_TARGET + Rq @ np.array([0.05, 0.009, 0.0])
+                          + np.array([0.0, 0.0, 0.05]))
+        self.goal_pos = self.obj_start + np.array([0.0, 0.0, -0.04])
+        ob = ModelBuilder()
+        ob.begin_actor()
+        obj = ob.add_body("object", -1, FREE, body_pos=self.obj_start)
+        ob.add_geom(obj, GEOM_BOX, np.full(3, 0.065 / 2), density=400.0,
+                    name="object_geom")
         model = compose_scene([
             (hand, base, tuple(quat)),
             (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])
@@ -99,7 +131,7 @@ class AllegroHand(ShadowHand):
         names = [g.name for g in model.geoms]
         obj_geom = names.index("object_geom")
         pairs = [(names.index(n), obj_geom) for n in names
-                 if n.startswith("tip_") or n == "palm_box"]
+                 if n.startswith(("tip_", "pad_")) or n == "palm_box"]
         pairs.append((obj_geom, names.index("palm_box")))
         return PhysicsEngine(model, self.sim_params, ground=ground,
                              pair_specs=pairs)

@@ -397,9 +397,8 @@ class AllegroHandDextremeManualDR(AllegroHand):
         nh = self.num_hand_dofs
         dof_pos = self.engine.dof_pos(state.sim)[:, :nh]
         dof_vel = self.engine.dof_vel(state.sim)[:, :nh]
-        from .shadow_hand import GOAL_POS
-        goal_pos = jnp.broadcast_to(jnp.asarray(GOAL_POS, jnp.float32),
-                                    (n, 3))
+        goal_pos = jnp.broadcast_to(
+            jnp.asarray(self.goal_pos, jnp.float32), (n, 3))
         rel = maths.quat_mul(held_rot, maths.quat_conjugate(hand.goal_rot))
         k_dof = jax.random.fold_in(state.rng, 17)
         dof_obs = task.dof_scale \

@@ -251,23 +251,32 @@ class ShadowHand(VecTaskBase):
             hand.dof_stiffness[d] = kp
             hand.dof_drive_damping[d] = 0.1
             hand.dof_effort_limit[d] = eff
-        ob = ModelBuilder()
-        ob.begin_actor()
-        obj = ob.add_body("object", -1, FREE, body_pos=OBJ_START)
-        ob.add_geom(obj, GEOM_BOX, np.full(3, CUBE_SIZE / 2), density=400.0,
-                    name="object_geom")
-        # palm-frame axes: +z is the distal/finger direction (knuckles at
-        # z~0.095), the palm box's thin axis is y, and finger flexion
-        # (positive rotation about the +x hinge axes) curls fingertips toward
-        # -y — so the palmar surface normal is -y.  Aligning -y to world up
-        # puts the palm face horizontal under the cube with fingers level,
-        # matching the reference mount (identity rotation of an asset whose
-        # palm faces up; object at dy=-0.39 along the forearm,
-        # ref shadow_hand.py:306-315).  Round 2 aligned +z instead — fingers
-        # pointed at the sky and the cube balanced on the fingertips, which
-        # is why 5000 epochs produced retention but zero reorientations.
+        # palm-frame axes after self-alignment: -y (palmar normal) -> world
+        # up; the palm-frame +z finger direction maps through R.  The cube
+        # spawns over the palm/knuckle junction — the reference spawns it
+        # 0.39 m along the forearm from the hand root (shadow_hand.py:313,
+        # dy=-0.39), i.e. over the FINGERS, not the palm center: a cube the
+        # fingers rest against is a cube every exploratory twitch perturbs.
+        # Round 2/3a centered it on the palm, where the learned optimum was
+        # "never touch it" and the cube's pose stayed frozen all episode.
         base, quat = _palm_up_placement(hand, "robot0:C_palm0",
                                         np.array([0.0, -1.0, 0.0]))
+        from ..models.model import _quat_to_mat_np
+        Rq = _quat_to_mat_np(np.asarray(quat, float))
+        self.obj_start = (PALM_TARGET + Rq @ np.array([0.0, 0.0, 0.055])
+                          + np.array([0.0, 0.0, 0.05]))
+        # reward goal position = spawn dropped 4 cm (ref :402-403)
+        self.goal_pos = self.obj_start + np.array([0.0, 0.0, -0.04])
+        ob = ModelBuilder()
+        ob.begin_actor()
+        obj = ob.add_body("object", -1, FREE, body_pos=self.obj_start)
+        ob.add_geom(obj, GEOM_BOX, np.full(3, CUBE_SIZE / 2), density=400.0,
+                    name="object_geom")
+        # (-y alignment: the palm box's thin axis is y and finger flexion —
+        # positive rotation about the +x hinges — curls fingertips toward
+        # -y, so -y is the palmar surface normal.  Round 2 aligned +z, the
+        # finger axis: fingers pointed at the sky and the cube balanced on
+        # the fingertips.)
         model = compose_scene([
             (hand, base, tuple(quat)),
             (ob.finalize(), (0, 0, 0), (0, 0, 0, 1))])
@@ -347,8 +356,8 @@ class ShadowHand(VecTaskBase):
         n = self.num_envs
         ks = jax.random.split(key, 5)
         # object pose: start + noise, random orientation
-        pos = jnp.asarray(OBJ_START, jnp.float32) + self.reset_pos_noise * \
-            jax.random.normal(ks[0], (n, 3))
+        pos = jnp.asarray(self.obj_start, jnp.float32) + self.reset_pos_noise \
+            * jax.random.normal(ks[0], (n, 3))
         quat = self._random_quat(ks[1], n)
         oq = jnp.concatenate([pos, quat], -1)
         qa, va = self.obj_qa, self.obj_va
@@ -383,7 +392,7 @@ class ShadowHand(VecTaskBase):
         obj = out.root_states[:, 1]
         obj_pos, obj_rot = obj[:, 0:3], obj[:, 3:7]
         obj_linvel, obj_angvel = obj[:, 7:10], obj[:, 10:13]
-        goal_pos = jnp.asarray(GOAL_POS, jnp.float32)
+        goal_pos = jnp.asarray(self.goal_pos, jnp.float32)
         goal_rot = task.goal_rot
 
         quat_diff = maths.quat_mul(obj_rot, maths.quat_conjugate(goal_rot))

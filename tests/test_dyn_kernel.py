@@ -74,10 +74,13 @@ def test_chain_parity(ant):
         np.moveaxis(np.asarray(qdd), -1, 0), np.asarray(qdd_ref),
         rtol=2e-4, atol=2e-4)
 
-    # cached variant: same C path given the same (I_O, Hinv)
-    qdd_c = dk.dyn_cached_bl(plan, consts, _bl(S), _bl(qd), _bl(rhs), I_O, Hinv)
+    # cached variant: same C path given the same (I_O, Hinv) and a fresh
+    # gravity wrench (at the SAME state it equals the a0-through-I_O route)
+    fg = eng.gravity_wrench(body_x, body_q)
+    qdd_c = dk.dyn_cached_bl(plan, consts, _bl(S), _bl(qd), _bl(rhs), I_O,
+                             Hinv, _bl(fg))
     np.testing.assert_allclose(
-        np.asarray(qdd_c), np.asarray(qdd), rtol=1e-6, atol=1e-6)
+        np.asarray(qdd_c), np.asarray(qdd), rtol=1e-5, atol=1e-5)
 
 
 def test_chain_parity_with_scales(ant):

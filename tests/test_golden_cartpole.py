@@ -14,12 +14,15 @@ from isaacgymenvs_ma_tpu.tasks.cartpole import Cartpole, TASK_CFG
 from isaacgymenvs_ma_tpu.utils.config import deep_merge
 
 # obs of env 0 at steps [10, 50, 100] under the scripted policy below
-# regenerated after enabling per-step mass-matrix reuse (the intentional
-# integrator change measured at 1.06M env-steps/s with the best Ant curve)
+# regenerated twice for intentional physics changes: (1) per-step
+# mass-matrix reuse (round 1), (2) the round-3 stale-gravity fix — reused
+# substeps now take gravity torque about the FRESH com
+# (engine.gravity_wrench), which shifts the cart/pole trajectory slightly
+# because the old cached path torqued translating bodies by |g|*h*v
 GOLDEN = np.array([
-    [1.4956656, 5.0, 0.9112351, 5.0],
-    [-2.6279547, -5.0, 1.3821188, -2.171226],
-    [0.92729497, -0.07099992, 1.3434184, 4.0985737],
+    [1.494014, 5.0, 0.91096914, 5.0],
+    [-2.6365683, -5.0, 1.2960644, -3.32618],
+    [0.9258066, -0.08159933, 1.3401862, 4.042155],
 ], dtype=np.float32)
 
 

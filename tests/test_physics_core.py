@@ -90,6 +90,27 @@ def test_free_fall():
     assert abs(float(st.qd[0, 2]) + 9.81) < 1e-4
 
 
+def test_translating_free_flight_is_torque_free():
+    """A free body translating horizontally while falling picks up ZERO
+    angular velocity.  Regression: with mass-matrix reuse (substeps > 1),
+    gravity applied through the CACHED spatial inertia paired a stale com
+    with the fresh motion subspace, torquing every floating base by
+    |g|*h*v per substep (a sliding ball spun up at ~0.14 rad/s per step;
+    fixed round 3 via engine.gravity_wrench on the cached paths)."""
+    b = ModelBuilder()
+    root = b.add_body("ball", -1, FREE)
+    b.set_body_mass(root, 1.0, inertia=np.eye(3) * 0.01)
+    eng = PhysicsEngine(b.finalize(), SimParams(substeps=2), ground=False)
+    assert eng.params.reuse_mass_matrix
+    st = eng.default_state(1)
+    st = SimState(st.q.at[:, 2].set(2.0).at[:, 0].set(1.0),
+                  st.qd.at[:, 0].set(2.0))
+    ctrl = Control(tau=jnp.zeros((1, 6)))
+    st = rollout(eng, st, ctrl, 10)
+    assert float(jnp.abs(st.qd[0, 3:6]).max()) < 1e-5
+    assert abs(float(st.qd[0, 0]) - 2.0) < 1e-5
+
+
 def test_spinning_top_momentum():
     """Angular velocity of a torque-free symmetric body stays constant."""
     b = ModelBuilder()
