@@ -56,6 +56,26 @@ class AMPState(NamedTuple):
     ppo: PPOState
     amp: AMPVars
 
+    # train.py's checkpoint/video/play paths address the inner PPO fields
+    # uniformly across agents (state.env_state / state.last_obs /
+    # state.params / state.obs_rms) — forward them so the AMP wrapper is a
+    # drop-in PPOState on those surfaces
+    @property
+    def env_state(self):
+        return self.ppo.env_state
+
+    @property
+    def last_obs(self):
+        return self.ppo.last_obs
+
+    @property
+    def params(self):
+        return self.ppo.params
+
+    @property
+    def obs_rms(self):
+        return self.ppo.obs_rms
+
 
 class AMPAgent(PPOAgent):
     def __init__(self, task, train_cfg: dict, seed: int = 42):

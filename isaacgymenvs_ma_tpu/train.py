@@ -208,6 +208,13 @@ def launch(argv=None):
                 if sk in m:
                     succ = f" succ {m[sk]:.2f}"
                     break
+            # task-objective diagnostics that make plateaus interpretable
+            for sk, lbl in (("episode/episode/coverage", "cov"),
+                            ("episode/episode/rot_dist", "rot"),
+                            ("episode/episode/terrain_level", "lvl"),
+                            ("episode/adr_npd", "npd")):
+                if sk in m:
+                    succ += f" {lbl} {m[sk]:.2f}"
             print(f"epoch {ep}/{max_epochs} reward {m['mean_return']:.2f} "
                   f"len {m['mean_length']:.0f} kl {m['kl']:.4f}{succ} "
                   f"fps {fps:,.0f}")
