@@ -268,6 +268,13 @@ def _play(task, agent, state, cfg, num_steps: int = 2000, run_dir="runs"):
         rec = FrameRecorder(task)
         vlen = int(cfg.get("capture_video_len", 100))
 
+    viewer = None
+    if not cfg.get("headless", True):
+        # reference play mode with a viewer window (vec_task.py:271-300):
+        # ESC quits, V toggles sync, R records frames
+        from .utils.viewer import InteractiveViewer
+        viewer = InteractiveViewer(task)
+
     @jax.jit
     def step(env_state, obs):
         actions = agent.act(state, obs, deterministic=True)
@@ -279,6 +286,10 @@ def _play(task, agent, state, cfg, num_steps: int = 2000, run_dir="runs"):
     for i in range(num_steps):
         if rec is not None and i < vlen:
             rec.capture(env_state)
+        if viewer is not None:
+            if not viewer.open:
+                break
+            viewer.render(env_state)
         env_state, obs, rew, reset = step(env_state, obs)
         total_rew += float(rew.mean())
         games += int(jnp.sum(reset))

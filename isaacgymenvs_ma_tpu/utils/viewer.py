@@ -218,3 +218,118 @@ class FrameRecorder:
 
     def clear(self):
         self.frames = []
+
+
+class InteractiveViewer:
+    """Interactive viewer surface (reference ``set_viewer``/``render``,
+    vec_task.py:271-300,459-514): a live window with the reference's
+    keyboard semantics —
+
+    * **ESC / Q** — quit (subscribe_viewer_keyboard_event QUIT :276-279),
+    * **V** — toggle ``enable_viewer_sync`` (:280-283, :474-489): when off,
+      stepping continues but frames stop being drawn (the reference's
+      free-running mode),
+    * **R** — toggle frame recording into :class:`FrameRecorder`
+      (``record_frames`` :290-300),
+
+    plus ``sync_frame_time`` real-time throttling (:499-503) via the
+    ``render_fps`` argument and a follow camera re-aimed at the tracked
+    env's root each draw (``viewer_camera_look_at`` analog).
+
+    The window is a matplotlib figure so it runs anywhere a display (or
+    X-forwarding) exists; on a headless TPU pod matplotlib's Agg backend
+    has no window, so construction raises unless ``headless_ok`` — the same
+    loud failure the reference gives without an X server (camera_props path
+    :266-268).  The draw path reuses the splat rasterizer, so what you see
+    is exactly what `render(rgb_array)` records.
+
+    Usage::
+
+        viewer = InteractiveViewer(task)
+        while viewer.open:
+            state, _ = step_fn(state, actions)
+            viewer.render(state)          # throttles, draws, handles keys
+    """
+
+    def __init__(self, task, env_index: int = 0, render_fps: float = 60.0,
+                 headless_ok: bool = False, **camera_kwargs):
+        import matplotlib
+        self.task = task
+        self.env_index = env_index
+        self.render_fps = float(render_fps)
+        self.camera_kwargs = camera_kwargs
+        self.enable_viewer_sync = True
+        self.recording = False
+        self.recorder = FrameRecorder(task, env_index, **camera_kwargs)
+        self.open = True
+        self._last_draw = 0.0
+        backend = matplotlib.get_backend().lower()
+        self._headless = "agg" in backend and "webagg" not in backend
+        if self._headless and not headless_ok:
+            raise RuntimeError(
+                "InteractiveViewer needs a GUI matplotlib backend (got "
+                f"{backend!r}); run with a display / X forwarding, or use "
+                "render(mode='rgb_array') + FrameRecorder headless")
+        import matplotlib.pyplot as plt
+        self._plt = plt
+        self.fig, self._ax = plt.subplots(figsize=(6.4, 4.8))
+        self._ax.set_axis_off()
+        self._im = None
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self.fig.canvas.mpl_connect("close_event", lambda e: self._quit())
+        if not self._headless:
+            plt.ion()
+            self.fig.show()
+
+    # -- keyboard events (reference QUIT / toggle_viewer_sync / record) --
+    def _on_key(self, event):
+        k = (event.key or "").lower()
+        if k in ("escape", "q"):
+            self._quit()
+        elif k == "v":
+            self.enable_viewer_sync = not self.enable_viewer_sync
+        elif k == "r":
+            self.recording = not self.recording
+
+    def _quit(self):
+        self.open = False
+        try:
+            self._plt.close(self.fig)
+        except Exception:
+            pass
+
+    def render(self, env_state):
+        """Draw the tracked env, honoring sync/record toggles and the
+        real-time throttle.  Returns the frame when one was drawn."""
+        if not self.open:
+            return None
+        import time
+        if self.recording:
+            frame = self.recorder.capture(env_state)
+        elif self.enable_viewer_sync:
+            frame = None
+        else:
+            # free-running mode: keep the event loop alive, draw nothing
+            self.fig.canvas.flush_events()
+            return None
+        # sync_frame_time: don't outrun real time (vec_task.py:499-503)
+        now = time.monotonic()
+        wait = (1.0 / self.render_fps) - (now - self._last_draw)
+        if wait > 0:
+            time.sleep(wait)
+        self._last_draw = time.monotonic()
+        if frame is None:
+            out = self.task.engine.forward(env_state.sim)
+            frame = render_rgb(
+                self.task.model,
+                np.asarray(out.body_pos[self.env_index]),
+                np.asarray(out.body_quat[self.env_index]),
+                ground=getattr(self.task.engine, "ground", True),
+                **self.camera_kwargs)
+        if self._im is None:
+            self._im = self._ax.imshow(frame)
+        else:
+            self._im.set_data(frame)
+        self.fig.canvas.draw_idle()
+        self.fig.canvas.flush_events()
+        return frame

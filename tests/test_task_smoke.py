@@ -64,3 +64,35 @@ def test_task_steps_finite(name, n, steps):
 @pytest.mark.parametrize("name,n,steps", HEAVY)
 def test_heavy_task_steps_finite(name, n, steps):
     _run_task_steps(name, n, steps)
+
+
+def test_interactive_viewer_logic():
+    """InteractiveViewer: reference keyboard semantics (ESC/V/R) + draw loop
+    on the Agg backend (headless_ok exercises everything but the window)."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from isaacgymenvs_ma_tpu.utils.viewer import InteractiveViewer
+    from isaacgymenvs_ma_tpu.tasks.cartpole import Cartpole, TASK_CFG
+    t = Cartpole(deep_merge(TASK_CFG, {"env": {"numEnvs": 2}}))
+    st = t.initial_state(jax.random.PRNGKey(0))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        InteractiveViewer(t)                      # headless must fail loudly
+    v = InteractiveViewer(t, headless_ok=True, render_fps=1000.0)
+    frame = v.render(st)
+    assert frame is not None and frame.ndim == 3
+
+    class _K:
+        def __init__(self, key):
+            self.key = key
+
+    v._on_key(_K("v"))
+    assert not v.enable_viewer_sync
+    assert v.render(st) is None                   # free-running: no draw
+    v._on_key(_K("r"))
+    assert v.recording
+    v._on_key(_K("v"))
+    v.render(st)
+    assert len(v.recorder.frames) == 1            # R routed into the recorder
+    v._on_key(_K("escape"))
+    assert not v.open and v.render(st) is None
