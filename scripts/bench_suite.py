@@ -28,6 +28,10 @@ DEFAULT = {
     "AllegroHand": (16384, 25),
     "FrankaReachMA": (8192, 25),
     "Trifinger": (16384, 25),
+    "HumanoidAMP": (4096, 50),
+    # mesh-SDF tier at the reference-default 128 envs (Factory trains tiny)
+    "FactoryTaskNutBoltPick": (128, 50),
+    "IndustRealTaskPegsInsert": (128, 50),
 }
 
 
