@@ -105,7 +105,9 @@ class AllegroHand(ShadowHand):
         # fingers pointed up, cube balanced on fingertips.
         from .shadow_hand import _palm_up_placement, PALM_TARGET
         base, quat = _palm_up_placement(hand, "palm_box",
-                                        np.array([0.0, 0, 1.0]))
+                                        np.array([0.0, 0, 1.0]),
+                                        distal_axis=np.array([1.0, 0, 0]),
+                                        tilt=0.095)
         from ..models.model import _quat_to_mat_np
         Rq = _quat_to_mat_np(np.asarray(quat, float))
         # cube over the palm/proximal-link junction (palm-frame +x is

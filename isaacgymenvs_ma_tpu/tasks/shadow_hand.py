@@ -128,11 +128,21 @@ def _part_body_pose0(m, body: int):
     return pos, quat
 
 
-def _palm_up_placement(hand, palm_geom_name: str, palm_axis: np.ndarray):
+def _palm_up_placement(hand, palm_geom_name: str, palm_axis: np.ndarray,
+                       distal_axis=None, tilt: float = 0.0):
     """(base_pos, base_quat) rotating the hand part so the palm-frame axis
     ``palm_axis`` points at world +z and the palm geom center lands at
-    PALM_TARGET."""
-    from ..models.model import _quat_to_mat_np
+    PALM_TARGET.
+
+    ``tilt``: extra rotation (rad) tipping the palm plane DOWN toward the
+    ``distal_axis`` (palm-frame finger direction) — the reference mounts
+    the allegro hand at Rot(x, 0.47*pi), 5.4 degrees short of flat
+    (allegro_hand.py:285), so gravity feeds the cube into the finger/thumb
+    pocket instead of letting it drift to the unreachable palm heel.
+    Round-3 gait probing showed exactly that failure on a flat palm:
+    closing fingers punt the cube heel-ward, after which every finger phi
+    is +5 cm and no action can influence the cube again."""
+    from ..models.model import _quat_to_mat_np, _quat_mul_np
     g = next(g for g in hand.geoms if g.name == palm_geom_name)
     bp, bq = _part_body_pose0(hand, g.body)
     Rb = _quat_to_mat_np(bq)
@@ -148,6 +158,13 @@ def _palm_up_placement(hand, palm_geom_name: str, palm_axis: np.ndarray):
         ang = float(np.arctan2(s, v[2]))
         axis = axis / s
         q = np.concatenate([axis * np.sin(ang / 2), [np.cos(ang / 2)]])
+    if tilt and distal_axis is not None:
+        d_w = _quat_to_mat_np(q) @ (Rb @ np.asarray(distal_axis, float))
+        d_w[2] = 0.0
+        d_w /= max(np.linalg.norm(d_w), 1e-9)
+        ax = np.cross([0.0, 0, 1.0], d_w)   # rotating +tilt tips d_w down
+        qt = np.concatenate([ax * np.sin(tilt / 2), [np.cos(tilt / 2)]])
+        q = _quat_mul_np(qt, q)
     base = PALM_TARGET - _quat_to_mat_np(q) @ c_part
     return base, q
 CUBE_SIZE = 0.065  # block object half ~0.0325 (cube_multicolor urdf scale)
@@ -260,7 +277,9 @@ class ShadowHand(VecTaskBase):
         # Round 2/3a centered it on the palm, where the learned optimum was
         # "never touch it" and the cube's pose stayed frozen all episode.
         base, quat = _palm_up_placement(hand, "robot0:C_palm0",
-                                        np.array([0.0, -1.0, 0.0]))
+                                        np.array([0.0, -1.0, 0.0]),
+                                        distal_axis=np.array([0.0, 0, 1.0]),
+                                        tilt=0.095)
         from ..models.model import _quat_to_mat_np
         Rq = _quat_to_mat_np(np.asarray(quat, float))
         self.obj_start = (PALM_TARGET + Rq @ np.array([0.0, 0.0, 0.055])
