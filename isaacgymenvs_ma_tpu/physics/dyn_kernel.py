@@ -382,14 +382,16 @@ def supports(engine, N: int, dtype) -> bool:
     return _pick_block(N, _vmem_per_lane(plan)) is not None
 
 
-_PLANS: dict = {}
-
-
 def get_plan(engine) -> DynPlan:
-    plan = _PLANS.get(id(engine))
+    """Per-engine kernel plan, stored ON the engine.  (A global dict keyed
+    by id(engine) handed recycled ids a stale plan once the old engine was
+    garbage-collected — any process building several tasks, e.g. the bench
+    suite or PBT exec-restarts, could crash on a shape mismatch or, worse,
+    silently run another model's plan.)"""
+    plan = getattr(engine, "_dyn_plan", None)
     if plan is None:
         plan = DynPlan(engine)
-        _PLANS[id(engine)] = plan
+        engine._dyn_plan = plan
     return plan
 
 

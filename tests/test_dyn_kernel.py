@@ -120,7 +120,6 @@ def test_full_step_parity_interpret():
 
     state_ref, res_ref = task.step(state, acts)
     dk._FORCE_INTERPRET = True
-    dk._PLANS.clear()
     try:
         assert dk.supports(task.engine, N, jnp.float32)
         state_k, res_k = task.step(state, acts)
@@ -149,7 +148,6 @@ def _step_parity(task_name, overrides, n=128, atol=3e-3, rtol=3e-3):
         minval=-1, maxval=1)
     state_ref, res_ref = task.step(state, acts)
     dk._FORCE_INTERPRET = True
-    dk._PLANS.clear()
     try:
         state_k, res_k = task.step(state, acts)
     finally:
@@ -171,3 +169,26 @@ def test_step_parity_ball_balance_interpret():
 def test_step_parity_factory_pick_interpret():
     """Grab (suction) rows + SDF pair rows through the contact kernel."""
     _step_parity("FactoryTaskNutBoltPick", {})
+
+
+def test_plan_not_shared_across_engines():
+    """Regression: the kernel plan was cached in a global dict keyed by
+    id(engine); a recycled id after GC handed a new engine another model's
+    plan (bench-suite crash: BallBalance stepped with Anymal's plan)."""
+    import gc
+    from isaacgymenvs_ma_tpu.tasks import registry
+    from isaacgymenvs_ma_tpu.utils.config import deep_merge
+
+    def build(name):
+        cfg = deep_merge(registry.task_default_config(name),
+                         {"env": {"numEnvs": 4}})
+        t = registry.create_task(name, cfg)
+        return t, dk.get_plan(t.engine)
+
+    t1, p1 = build("Ant")
+    nv1 = p1.nv
+    del t1, p1
+    gc.collect()
+    t2, p2 = build("BallBalance")
+    assert p2.nv == t2.engine.nv != nv1
+    assert dk.get_plan(t2.engine) is p2          # stable per engine
