@@ -97,6 +97,15 @@ class PbtAlgoObserver:
         self.checkpoint_fn = checkpoint_fn
         self.restore_fn = restore_fn
         self.last_interval = 0
+        # frame counter at PROCESS start (reference initial_env_frames,
+        # pbt.py:269-283): restarted workers resume from the donor's
+        # cumulative frames, so replacement gates must be RELATIVE to the
+        # process's own start or a restarted worker is eligible for
+        # replacement immediately — and the post-restore reset transient
+        # tanks its objective, so it exec-loops forever (observed: a worker
+        # replaced 10x in a row without completing an interval of fresh
+        # training)
+        self.first_frames: Optional[int] = None
         os.makedirs(self.p.policy_dir, exist_ok=True)
 
     # -- protocol ------------------------------------------------------
@@ -132,12 +141,19 @@ class PbtAlgoObserver:
         p = self.p
         if not p.enabled:
             return
+        if self.first_frames is None:
+            self.first_frames = frames
         if frames - self.last_interval < p.interval_steps:
             return
         self.last_interval = frames
         objective = metrics.get("true_objective", metrics.get("mean_return", 0.0))
         self._save(frames, objective)
         if frames < max(p.start_after, p.initial_delay):
+            return
+        # per-process grace period (reference :269-283): a freshly
+        # (re)started worker trains initial_delay frames of its OWN before
+        # it can be replaced again
+        if frames - self.first_frames < p.initial_delay:
             return
 
         pop = self._load_population(frames)
