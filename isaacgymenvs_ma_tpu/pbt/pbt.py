@@ -159,6 +159,9 @@ class PbtAlgoObserver:
         pop = self._load_population(frames)
         objectives = [(i, m["true_objective"]) for i, m in enumerate(pop)
                       if m is not None]
+        if os.environ.get("PBT_DEBUG"):
+            print(f"[pbt-debug] frames {frames} obj {objective:.2f} "
+                  f"pop {objectives}")
         if len(objectives) < 3:
             return
         objectives.sort(key=lambda t: t[1])

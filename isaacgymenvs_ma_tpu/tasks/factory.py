@@ -221,7 +221,12 @@ class FactoryBase(VecTaskBase):
         tb.begin_actor()
         tbody = tb.add_body("table", -1, FIXED,
                             body_pos=(0.0, 0.0, TABLE_HEIGHT / 2))
-        tb.add_geom(tbody, GEOM_BOX, np.array([0.3, 0.3, TABLE_HEIGHT / 2]),
+        # reference table: depth 0.6 (x) x width 1.0 (y)
+        # (factory_asset_info_franka_table.yaml:6-7, factory_base.py:158-159).
+        # A 0.3 y half-extent put the nut spawn band (y in [-0.4,-0.2],
+        # FactoryTaskNutBoltPick.yaml:30-31) half off the table edge — nuts
+        # free-fell past the tabletop and thrashed inside the box.
+        tb.add_geom(tbody, GEOM_BOX, np.array([0.3, 0.5, TABLE_HEIGHT / 2]),
                     friction=0.3, name="table_top")
         parts = [
             (franka, (FRANKA_DEPTH, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)),
@@ -519,9 +524,23 @@ class FactoryTaskNutBoltPick(FactoryBase):
             - action_penalty * self.cfg_rl["action_penalty_scale"]
 
         is_last = state.progress >= self.max_episode_length - 1
-        nut_z = out.root_states[:, 2, 2]
-        lift_success = (nut_z > TABLE_HEIGHT + NUT_HEIGHT * 3.0).astype(
-            jnp.float32)
+        if self.cfg["env"].get("close_and_lift", True):
+            # Reference semantics: lift success is scored AFTER the scripted
+            # close-and-lift epilogue on the final episode step
+            # (factory_task_nut_bolt_pick.py:144-203 — _close_gripper +
+            # _lift_gripper in pre-physics of the last step, then
+            # _check_lift_success(3.0)).  Episodes are lockstep (reset only
+            # on timeout), so run the epilogue once per episode under a cond
+            # — ~50 extra sim steps per 100-step episode only on that step.
+            lift_success = jax.lax.cond(
+                jnp.any(is_last),
+                self.evaluate_lift,
+                lambda s: jnp.zeros(n, jnp.float32),
+                state)
+        else:
+            nut_z = out.root_states[:, 2, 2]
+            lift_success = (nut_z > TABLE_HEIGHT + NUT_HEIGHT * 3.0).astype(
+                jnp.float32)
         reward = reward + is_last.astype(jnp.float32) * lift_success \
             * self.cfg_rl["success_bonus"]
         reset = is_last.astype(jnp.int32)
