@@ -348,7 +348,7 @@ class ModelBuilder:
                      quat=(0, 0, 0, 1), density: Optional[float] = None,
                      friction: float = 1.0, resolution: int = 48,
                      contact_samples: int = 0, contact_points=None,
-                     union_with=None, name: str = ""):
+                     union_with=None, sdf_from=None, name: str = ""):
         """Mesh geom baked to a signed-distance voxel grid (native
         voxelizer — the analog of PhysX SDF collisions, docs/factory.md).
         Acts as a collision *target* in engine pair_specs; with
@@ -363,15 +363,25 @@ class ModelBuilder:
         triangles cap |SDF| near the seam (measured: a nut sank 9 mm into a
         bolt head whose top cap abutted the shank's bottom cap).
 
-        Mass properties integrate the interior voxels."""
+        Mass properties integrate the interior voxels of the PRIMARY mesh
+        (+ ``union_with``); ``sdf_from`` optionally bakes the COLLISION
+        field from different solids on the same grid — e.g. a hex nut whose
+        pads-facing field is the solid hex prism (no bore): a thin wall's
+        interior SDF ridge flips the gradient toward the far side, letting
+        fast contacts tunnel straight through (see
+        SimParams.contact_margin)."""
         from ..native import voxelize_mesh
         parts = [(np.asarray(verts, np.float32), np.asarray(tris, np.int32))]
         for uv, ut in (union_with or []):
             parts.append((np.asarray(uv, np.float32),
                           np.asarray(ut, np.int32)))
+        col_parts = parts if sdf_from is None else [
+            (np.asarray(cv, np.float32), np.asarray(ct, np.int32))
+            for cv, ct in sdf_from]
         verts = parts[0][0]
         tris = parts[0][1]
-        all_v = np.concatenate([p[0] for p in parts])
+        all_v = np.concatenate([p[0] for p in parts]
+                               + [p[0] for p in col_parts])
         lo = all_v.min(0)
         hi = all_v.max(0)
         margin = float((hi - lo).max()) * 0.15
@@ -379,11 +389,17 @@ class ModelBuilder:
         hi = hi + margin
         h = float((hi - lo).max()) / max(resolution - 1, 3)
         dims = np.maximum(np.ceil((hi - lo) / h).astype(np.int32) + 1, 4)
-        vals = voxelize_mesh(verts, tris, lo, np.full(3, h, np.float32),
-                             dims)
-        for uv, ut in parts[1:]:
-            vals = np.minimum(vals, voxelize_mesh(
-                uv, ut, lo, np.full(3, h, np.float32), dims))
+
+        def bake(ps):
+            v_ = voxelize_mesh(ps[0][0], ps[0][1], lo,
+                               np.full(3, h, np.float32), dims)
+            for uv, ut in ps[1:]:
+                v_ = np.minimum(v_, voxelize_mesh(
+                    uv, ut, lo, np.full(3, h, np.float32), dims))
+            return v_
+
+        vals = bake(col_parts)
+        vals_mass = vals if sdf_from is None else bake(parts)
         cp = None
         if contact_points is not None:
             cp = np.asarray(contact_points, np.float32)
@@ -399,7 +415,7 @@ class ModelBuilder:
             sdf_spacing=np.full(3, h, np.float64), contact_points=cp)
         self.geoms.append(g)
         if density is not None:
-            inside = np.argwhere(vals < 0)
+            inside = np.argwhere(vals_mass < 0)
             if len(inside):
                 centers = lo[None, :] + h * inside.astype(np.float64)
                 vol = h ** 3

@@ -168,10 +168,14 @@ def translate_along_local_z(pos, quat, offset):
 def parse_ctrl_cfg(ctrl_cfg: dict, ctrl_type: str, num_envs: int) -> dict:
     """Build cfg_ctrl from the task yaml ``ctrl`` section
     (factory_base.py parse_controller_spec equivalent)."""
-    c = ctrl_cfg[ctrl_type]
+    # Hydra-merge parity: the task yaml's ``all`` section supplies defaults
+    # for every mode; mode-specific keys win (the factory tasks set their
+    # gripper gains in ``all`` — pick 50/2, place 100/2, screw 100/1 —
+    # an order of magnitude softer than gym_default's 500/20).
+    c = dict(ctrl_cfg.get("all", {}))
+    c.update(ctrl_cfg[ctrl_type])
     out = {"num_envs": num_envs, "ctrl_type": ctrl_type,
-           "jacobian_type": ctrl_cfg.get("all", {}).get("jacobian_type",
-                                                        "geometric"),
+           "jacobian_type": c.get("jacobian_type", "geometric"),
            "ik_method": c.get("ik_method", "dls")}
     bcast = lambda v: jnp.asarray(v, jnp.float32)
     if ctrl_type == "gym_default":

@@ -77,6 +77,13 @@ class SimParams(NamedTuple):
     baumgarte: float = 0.2          # error-correction fraction per substep
     contact_slop: float = 0.001     # penetration tolerance (m)
     max_depenetration_velocity: float = 10.0  # physx cfg parity
+    # speculative contact margin (PhysX contact_offset): rows activate at
+    # phi < margin with target normal velocity -phi/h, so an approaching
+    # surface decelerates BEFORE penetrating.  Essential for thin features
+    # (a hex-nut wall is 3.5 mm: a pad crossing >1.75 mm/substep lands past
+    # the SDF ridge where the gradient points through the part — the solver
+    # then ejects it out the far side).  0.0 = activate on penetration only.
+    contact_margin: float = 0.0
     plane_friction: float = 1.0
     plane_restitution: float = 0.0
     # impacts slower than this along the contact normal don't bounce
@@ -1321,9 +1328,13 @@ class PhysicsEngine:
                 p = jnp.zeros((N0, 0, 3), qd.dtype)
                 phi = jnp.zeros((N0, 0), qd.dtype)
                 mu = jnp.zeros((N0, 0), qd.dtype)
-            active = phi < 0.0
+            active = phi < pr.contact_margin
 
             b_n = -pr.baumgarte / h * jnp.minimum(phi + pr.contact_slop, 0.0)
+            if pr.contact_margin > 0.0:
+                # speculative rows (0 <= phi < margin): cap approach speed at
+                # phi/h — touch this substep, never tunnel
+                b_n = jnp.where(phi >= 0.0, -phi / h, b_n)
             # cap the push-out velocity (PhysX max_depenetration_velocity)
             b_n = jnp.minimum(b_n, pr.max_depenetration_velocity)
             # per-row restitution (PhysX average combine; plane rows combine
@@ -1541,10 +1552,12 @@ class PhysicsEngine:
                 gz = terrain.height_at(p_rows[..., 0], p_rows[..., 1])
                 phi_g = p_rows[..., 2] - rad_rows - gz
                 phi_rows = jnp.where(is_gnd > 0.5, phi_g, phi_rows)
-            active = phi_rows < 0.0
-            b_n = jnp.minimum(
-                -pr.baumgarte / h * jnp.minimum(phi_rows + pr.contact_slop, 0.0),
-                pr.max_depenetration_velocity)
+            active = phi_rows < pr.contact_margin
+            b_n = -pr.baumgarte / h * jnp.minimum(
+                phi_rows + pr.contact_slop, 0.0)
+            if pr.contact_margin > 0.0:
+                b_n = jnp.where(phi_rows >= 0.0, -phi_rows / h, b_n)
+            b_n = jnp.minimum(b_n, pr.max_depenetration_velocity)
             e_rows = cc.get("e_rows")
             if e_rows is not None:
                 v_n_pre = jax.lax.dot_general(
@@ -1671,8 +1684,23 @@ class PhysicsEngine:
             else:
                 oh_rows = jnp.broadcast_to(ohab[None], (N,) + ohab.shape)
             af = active.astype(qd.dtype)
-            counts = jnp.einsum("nr,nrb->nb", af, oh_rows)  # active rows/body
-            n_r = jnp.einsum("nb,nrb->nr", counts, oh_rows)
+            # Direction-aware splitting: only rows pushing the same body
+            # along similar world axes destabilize each other (a vertical
+            # resting cloud cannot amplify a horizontal gripper squeeze —
+            # raw per-body counts throttled the squeeze impulse by the
+            # resting-row count and the fingerpads sailed through the nut).
+            # Weight each row's count by its normal's squared components:
+            # counts (N, nb, 3) = sum_r active * oh * n^2; per-row effective
+            # count = sum_b oh * (n^2 . counts_b) — reduces exactly to the
+            # old per-body count when all rows share an axis.
+            if frames_rows is not None:
+                n_w = frames_rows[..., :, 2]                # (N, R, 3) world n
+            else:
+                n_w = jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, 1.0], qd.dtype), (N, R_rows, 3))
+            n2 = n_w * n_w
+            counts = jnp.einsum("nr,nrb,nrk->nbk", af, oh_rows, n2)
+            n_r = jnp.einsum("nbk,nrb,nrk->nr", counts, oh_rows, n2)
             row_scale = 1.0 / jnp.maximum(n_r, 1.0)
 
         # Row Jacobians live in the flat (N, C*3, nv) layout so the

@@ -71,6 +71,9 @@ def parse_sim_params(sim_cfg: dict) -> SimParams:
         warm_start=float(physx.get("warm_start", 0.0)),
         max_depenetration_velocity=float(
             physx.get("max_depenetration_velocity", 10.0)),
+        # speculative contact activation (PhysX contact_offset, the factory
+        # yamls set 0.005) — see SimParams.contact_margin
+        contact_margin=float(physx.get("contact_offset", 0.0)),
         bounce_threshold_velocity=float(
             physx.get("bounce_threshold_velocity", 0.2)),
         # reuse the mass-matrix chain across substeps (IGMA_MM_REUSE=0 opts

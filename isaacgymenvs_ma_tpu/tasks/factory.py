@@ -63,6 +63,9 @@ GRIPPER_WIDTH_MAX = 0.08
 ARM_INIT = np.array([0.3413, -0.8011, -0.0670, -1.8299, 0.0266, 1.0185,
                      1.0927], np.float32)
 
+# Mode sections mirror the reference task yamls: only gym_default pins its
+# own gripper gains (500/20); every other mode inherits them from the task's
+# ``all`` section (hydra-merge semantics, fc.parse_ctrl_cfg).
 _CTRL_YAML = {
     "all": {"jacobian_type": "geometric"},
     "gym_default": {"ik_method": "dls", "joint_prop_gains": [40.0] * 7,
@@ -70,37 +73,23 @@ _CTRL_YAML = {
                     "gripper_prop_gains": [500.0, 500.0],
                     "gripper_deriv_gains": [20.0, 20.0]},
     "joint_space_ik": {"ik_method": "dls", "joint_prop_gains": [1.0] * 7,
-                       "joint_deriv_gains": [0.1] * 7,
-                       "gripper_prop_gains": [500.0, 500.0],
-                       "gripper_deriv_gains": [20.0, 20.0]},
+                       "joint_deriv_gains": [0.1] * 7},
     "joint_space_id": {"ik_method": "dls", "joint_prop_gains": [40.0] * 7,
-                       "joint_deriv_gains": [8.0] * 7,
-                       "gripper_prop_gains": [500.0, 500.0],
-                       "gripper_deriv_gains": [20.0, 20.0]},
+                       "joint_deriv_gains": [8.0] * 7},
     "task_space_impedance": {"motion_ctrl_axes": [1] * 6,
                              "task_prop_gains": [40.0] * 6,
-                             "task_deriv_gains": [8.0] * 6,
-                             "gripper_prop_gains": [500.0, 500.0],
-                             "gripper_deriv_gains": [20.0, 20.0]},
+                             "task_deriv_gains": [8.0] * 6},
     "operational_space_motion": {"motion_ctrl_axes": [1] * 6,
                                  "task_prop_gains": [1.0] * 6,
-                                 "task_deriv_gains": [1.0] * 6,
-                                 "gripper_prop_gains": [500.0, 500.0],
-                                 "gripper_deriv_gains": [20.0, 20.0]},
-    "open_loop_force": {"force_ctrl_axes": [0, 0, 1, 0, 0, 0],
-                        "gripper_prop_gains": [500.0, 500.0],
-                        "gripper_deriv_gains": [20.0, 20.0]},
+                                 "task_deriv_gains": [1.0] * 6},
+    "open_loop_force": {"force_ctrl_axes": [0, 0, 1, 0, 0, 0]},
     "closed_loop_force": {"force_ctrl_axes": [0, 0, 1, 0, 0, 0],
-                          "wrench_prop_gains": [0.1] * 6,
-                          "gripper_prop_gains": [500.0, 500.0],
-                          "gripper_deriv_gains": [20.0, 20.0]},
+                          "wrench_prop_gains": [0.1] * 6},
     "hybrid_force_motion": {"motion_ctrl_axes": [1, 1, 0, 1, 1, 1],
                             "force_ctrl_axes": [0, 0, 1, 0, 0, 0],
                             "task_prop_gains": [40.0] * 6,
                             "task_deriv_gains": [8.0] * 6,
-                            "wrench_prop_gains": [0.1] * 6,
-                            "gripper_prop_gains": [500.0, 500.0],
-                            "gripper_deriv_gains": [20.0, 20.0]},
+                            "wrench_prop_gains": [0.1] * 6},
 }
 
 
@@ -148,6 +137,14 @@ def _base_cfg(name, num_obs, num_act, episode_len):
                 "physx": {"num_position_iterations": 16,
                           "num_velocity_iterations": 0,
                           "max_depenetration_velocity": 5.0,
+                          # speculative activation band (ref FactoryBase.yaml
+                          # contact_offset 0.005): without it the fingerpads
+                          # tunnel through the 3.5 mm hex-nut wall
+                          "contact_offset": 0.005,
+                          # persistent-contact impulse cache (PhysX warm
+                          # starting): the gripper squeeze builds across
+                          # steps instead of restarting from zero
+                          "warm_start": 0.9,
                           # mesh contact clouds rest many coincident rows at
                           # once — Jacobi needs per-body impulse splitting
                           "mass_splitting": True}},
@@ -208,15 +205,22 @@ class FactoryBase(VecTaskBase):
         for d in range(franka.nv):
             franka.dof_drive_mode[d] = 0  # torque control via controllers
             franka.dof_damping[d] = max(franka.dof_damping[d], 0.5)
-        # fingerpad contact spheres on both finger tips
+        # Fingerpad contact clouds on both finger tips: a 3x2 grid of 4 mm
+        # spheres covering the FLAT pad face (the real Franka pad is a
+        # plane; a single-sphere pad gave a 2-point knife-edge pinch that
+        # ratcheted over the hex corners and squirted the nut out — plane
+        # contact traps it like the reference's mesh fingers do).
+        pad_pts = np.array(
+            [[sx, 0.0, FRANKA_FINGER_LENGTH - FRANKA_FINGERPAD_LENGTH + dz]
+             for sx in (-0.005, 0.005)
+             for dz in (0.003, 0.0088, 0.0146)], np.float32)
         for n in ("panda_leftfinger", "panda_rightfinger"):
             b = franka.body_names.index(n)
             franka.geoms.append(Geom(
-                body=b, gtype=GEOM_SPHERE, size=np.array([0.008, 0, 0]),
-                pos=np.array([0.0, 0.0, FRANKA_FINGER_LENGTH
-                              - FRANKA_FINGERPAD_LENGTH * 0.5]),
+                body=b, gtype=GEOM_SPHERE, size=np.array([0.004, 0, 0]),
+                pos=np.array([0.0, 0.0, 0.0]),
                 quat=np.array([0.0, 0, 0, 1]), friction=1.0, contact=True,
-                name=f"pad_{n}"))
+                contact_points=pad_pts, name=f"pad_{n}"))
         tb = ModelBuilder()
         tb.begin_actor()
         tbody = tb.add_body("table", -1, FIXED,
@@ -399,7 +403,25 @@ class FactoryBase(VecTaskBase):
 TASK_CFG_PICK = _base_cfg("FactoryTaskNutBoltPick", 20, 12, 100)
 TASK_CFG_PLACE = _base_cfg("FactoryTaskNutBoltPlace", 27, 12, 200)
 TASK_CFG_SCREW = _base_cfg("FactoryTaskNutBoltScrew", 32, 12, 1024)
-TASK_CFG_SCREW["ctrl"]["ctrl_type"] = "gym_default"
+# Per-task gripper gains from each reference yaml's ``all`` section — an
+# order of magnitude softer than gym_default's 500/20 (a 500-gain squeeze
+# ejects the 28 g nut; 50/2 closes at ~2 N and grips cleanly):
+# FactoryTaskNutBoltPick.yaml:63-65 (50/2), Place (100/2), Screw (100/1 +
+# ctrl_type operational_space_motion with z/yaw-only motion axes :74-77).
+TASK_CFG_PICK["ctrl"]["all"] = {"jacobian_type": "geometric",
+                                "gripper_prop_gains": [50.0, 50.0],
+                                "gripper_deriv_gains": [2.0, 2.0]}
+TASK_CFG_PLACE["ctrl"]["all"] = {"jacobian_type": "geometric",
+                                 "gripper_prop_gains": [100.0, 100.0],
+                                 "gripper_deriv_gains": [2.0, 2.0]}
+TASK_CFG_SCREW["ctrl"]["all"] = {"jacobian_type": "geometric",
+                                 "gripper_prop_gains": [100.0, 100.0],
+                                 "gripper_deriv_gains": [1.0, 1.0]}
+TASK_CFG_SCREW["ctrl"]["ctrl_type"] = "operational_space_motion"
+TASK_CFG_SCREW["ctrl"]["operational_space_motion"] = {
+    "motion_ctrl_axes": [0, 0, 1, 0, 0, 1],
+    "task_prop_gains": [1.0, 1, 1, 1, 1, 200.0],
+    "task_deriv_gains": [1.0] * 6}
 TASK_CFG = TASK_CFG_PICK
 
 
@@ -419,8 +441,16 @@ class FactoryTaskNutBoltPick(FactoryBase):
             nv_, nt_ = meshes.hex_nut_mesh(NUT_WIDTH, NUT_HEIGHT, NUT_HOLE_R)
             cp = meshes.hex_nut_contact_points(NUT_WIDTH, NUT_HEIGHT,
                                                NUT_HOLE_R)
+            # collision field: SOLID hex prism (no bore).  The nut's SDF is
+            # only ever the fingerpads' target (nut-vs-table/bolt collide via
+            # the contact-point cloud) and the bored wall is 3.5 mm thin —
+            # the interior ridge flips the gradient and pads tunnel through;
+            # mass/inertia still integrate the true bored solid.
+            solid = meshes.cylinder_mesh(NUT_WIDTH / np.sqrt(3.0),
+                                         NUT_HEIGHT / 2.0, n=6)
             ob.add_sdf_geom(nut, nv_, nt_, density=7850.0, friction=0.8,
-                            resolution=40, contact_points=cp, name="nut_geom")
+                            resolution=40, contact_points=cp,
+                            sdf_from=[solid], name="nut_geom")
         else:
             # hex nut approximated by its bounding box (across-flats width)
             ob.add_geom(nut, GEOM_BOX,
@@ -479,6 +509,8 @@ class FactoryTaskNutBoltPick(FactoryBase):
                                               25))
         lift_steps = int(self.cfg["env"].get("num_gripper_lift_sim_steps", 25))
 
+        phys = getattr(state, "phys", None)
+
         def phase(sim, actions6, gripper, length):
             def body(s, _):
                 tau = self._apply_actions_as_ctrl_targets(
@@ -487,7 +519,9 @@ class FactoryTaskNutBoltPick(FactoryBase):
                     tau=tau,
                     pos_target=jnp.zeros((n, self.engine.nv), jnp.float32),
                     vel_target=jnp.zeros((n, self.engine.nv), jnp.float32))
-                s2, _ = self.engine.step(s, ctrl)
+                # thread per-env physics (DR) so the epilogue is scored
+                # under the same dynamics as the episode
+                s2, _ = self.engine.step(s, ctrl, phys=phys)
                 return s2, None
             sim, _ = jax.lax.scan(body, sim, None, length=length)
             return sim
@@ -501,11 +535,17 @@ class FactoryTaskNutBoltPick(FactoryBase):
         return (nut_z > TABLE_HEIGHT + NUT_HEIGHT * 3.0).astype(jnp.float32)
 
     def _nut_grasp_frame(self, out):
-        """Grasp pose on the nut (ref _acquire_task_tensors :87-92)."""
+        """Grasp pose on the nut = the nut COM (ref _acquire_task_tensors
+        :87-92: ``nut_grasp_heights = bolt_head_heights + nut_heights*0.5
+        # nut COM`` — the reference nut ASSET origin sits bolt_head_height
+        below the nut, see _reset_object :249 ``table_height -
+        bolt_head_heights``, so that offset lands on the COM.  Our nut body
+        origin IS the COM, so the local offset is zero.  Round 3 carried the
+        reference's literal offset, planting the grasp target 22.5 mm above
+        the nut — the scripted close grabbed air and post-fix lift success
+        was 0.00 (runs_r3/factorypick_c.log)."""
         nut = out.root_states[:, 2]
-        local = jnp.asarray(
-            [0.0, 0.0, BOLT_HEAD_HEIGHT + NUT_HEIGHT * 0.5], jnp.float32)
-        pos = nut[:, 0:3] + maths.quat_apply(nut[:, 3:7], local)
+        pos = nut[:, 0:3]
         quat = maths.quat_mul(nut[:, 3:7],
                               jnp.asarray([0.0, 1.0, 0.0, 0.0]))
         return pos, quat
@@ -537,6 +577,10 @@ class FactoryTaskNutBoltPick(FactoryBase):
                 self.evaluate_lift,
                 lambda s: jnp.zeros(n, jnp.float32),
                 state)
+            # Force-resets of unhealthy envs (base.py:301) can desync
+            # progress; mask so only episode-final envs are scored and
+            # mid-episode envs never bank an epilogue success.
+            lift_success = lift_success * is_last.astype(jnp.float32)
         else:
             nut_z = out.root_states[:, 2, 2]
             lift_success = (nut_z > TABLE_HEIGHT + NUT_HEIGHT * 3.0).astype(
@@ -548,8 +592,10 @@ class FactoryTaskNutBoltPick(FactoryBase):
         obs = jnp.concatenate([ft_pos, ft_quat, ft_lin, ft_ang,
                                grasp_pos, grasp_quat], -1)
         task = task._replace(actions=actions, lift_success=lift_success)
-        extras = {"successes": jnp.where(jnp.any(is_last),
-                                         jnp.mean(lift_success), 0.0)}
+        n_last = jnp.sum(is_last.astype(jnp.float32))
+        extras = {"successes": jnp.where(
+            n_last > 0,
+            jnp.sum(lift_success) / jnp.maximum(n_last, 1.0), 0.0)}
         return obs, None, reward, reset, task, extras
 
 
@@ -654,8 +700,11 @@ class FactoryTaskNutBoltScrew(FactoryBase):
             # flats while the SCREW joint supplies the exact thread kinematics
             from ..models import meshes
             nv_, nt_ = meshes.hex_nut_mesh(NUT_WIDTH, NUT_HEIGHT, NUT_HOLE_R)
+            solid = meshes.cylinder_mesh(NUT_WIDTH / np.sqrt(3.0),
+                                         NUT_HEIGHT / 2.0, n=6)
             bb.add_sdf_geom(nut, nv_, nt_, density=7850.0, friction=0.8,
-                            resolution=40, name="nut_geom")
+                            resolution=40, sdf_from=[solid],
+                            name="nut_geom")
         else:
             bb.add_geom(nut, GEOM_BOX,
                         np.array([NUT_WIDTH / 2, NUT_WIDTH / 2,
@@ -736,6 +785,11 @@ TASK_CFGS = {
 # reset hooks are `pass`; docs/rl_examples.md "no trained policies provided").
 TASK_CFG_GEARS = _base_cfg("FactoryTaskGears", 32, 12, 1024)
 TASK_CFG_INSERT = _base_cfg("FactoryTaskInsertion", 32, 12, 1024)
+for _c in (TASK_CFG_GEARS, TASK_CFG_INSERT):
+    # FactoryTaskGears/Insertion.yaml ``all``: gripper 500/2
+    _c["ctrl"]["all"] = {"jacobian_type": "geometric",
+                         "gripper_prop_gains": [500.0, 500.0],
+                         "gripper_deriv_gains": [2.0, 2.0]}
 
 
 class FactoryTaskGears(FactoryBase):

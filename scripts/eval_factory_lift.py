@@ -72,7 +72,6 @@ def main():
           f"{n_phase}  early resets total: {int(early.sum())}")
 
     out = task.engine.forward(env_state.sim)
-    raw = task._check_lift(out) if hasattr(task, "_check_lift") else None
     nut_z = out.root_states[:, 2, 2]
     from isaacgymenvs_ma_tpu.tasks.factory import TABLE_HEIGHT, NUT_HEIGHT
     raw = (nut_z > TABLE_HEIGHT + NUT_HEIGHT * 3.0).astype(jnp.float32)
