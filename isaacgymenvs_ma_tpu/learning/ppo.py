@@ -562,11 +562,18 @@ class PPOAgent:
             params=params, opt_state=opt_state, lr=lr, key=key,
             epoch=state.epoch + 1,
             frames=state.frames + total)
+        sig_leaves = [
+            v for p, v in jax.tree_util.tree_leaves_with_path(params)
+            if any(getattr(k, "key", None) == "log_sigma" for k in p)]
         out_metrics = {
             "loss": loss, "a_loss": a_l, "c_loss": c_l, "entropy": ent,
             "kl": kl, "lr": lr, "mean_return": state.mean_return,
             "mean_length": state.mean_length, "frames": state.frames,
             "episodes_done": stats["episodes_done"],
+            # exploration health: mean policy stddev (a collapsing sigma is
+            # how hold-still local optima lock in — allegrohand r3 forensics)
+            "sigma": (jnp.exp(sig_leaves[0]).mean() if sig_leaves
+                      else jnp.asarray(0.0)),
         }
         # aggregated task extras (Episode/* channel — rlgames_utils.py:149)
         out_metrics.update({k: v for k, v in stats.items()

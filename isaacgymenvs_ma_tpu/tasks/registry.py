@@ -68,9 +68,18 @@ _OPENAI_FF_DELTA = {
     "task": {"randomize": True},
 }
 _ALLEGRO_LSTM_DELTA = {
-    # cfg/task/AllegroHandLSTM.yaml (AllegroHandFF/LSTM_Big inherit it)
+    # cfg/task/AllegroHandLSTM.yaml (AllegroHandFF/LSTM_Big inherit it):
+    # resetTime urgency + random object forces + per-env action smoothing +
+    # capped consecutive successes at tolerance 0.4 — the reference's
+    # actually-trainable Allegro recipe (the plain AllegroHand.yaml has
+    # none of these and round 3's runs on it converged to hold-still)
     "env": {"numEnvs": 16384, "episodeLength": 320, "resetTime": 16,
-            "controlFrequencyInv": 2},
+            "controlFrequencyInv": 2, "forceScale": 2.0,
+            "actionsMovingAverage": {"range": [0.15, 0.35],
+                                     "schedule_steps": 1000_000},
+            "successTolerance": 0.4, "maxConsecutiveSuccesses": 50,
+            "fallPenalty": 0.0, "observationType": "full_no_vel",
+            "asymmetric_observations": True},
 }
 _VARIANTS: Dict[str, Tuple[str, dict]] = {
     "ShadowHandOpenAI_FF": ("ShadowHand", _OPENAI_FF_DELTA),

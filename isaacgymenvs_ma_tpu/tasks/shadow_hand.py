@@ -180,6 +180,7 @@ class HandTaskState(NamedTuple):
     successes: jax.Array       # (N,)
     consecutive: jax.Array     # scalar running mean
     prev_targets: jax.Array    # (N, 24)
+    rb_force: jax.Array        # (N, 3) persistent object-local random force
 
 
 class ShadowHand(VecTaskBase):
@@ -195,7 +196,41 @@ class ShadowHand(VecTaskBase):
         e["numObservations"] = self.obs_dims[self.obs_type]
         e["numActions"] = self.num_hand_actuated
         if e.get("asymmetric_observations"):
-            e["numStates"] = 211
+            # privileged critic state = the family's full_state layout
+            # (211 for Shadow, 88 for Allegro)
+            e["numStates"] = self.obs_dims["full_state"]
+        # resetTime overrides episodeLength (ref shadow_hand.py:139-141):
+        # the episode ends resetTime seconds after the last goal success —
+        # the urgency that kills the hold-still local optimum
+        reset_time = float(e.get("resetTime", -1.0) or -1.0)
+        if reset_time > 0.0:
+            cfi = int(e.get("controlFrequencyInv", 1))
+            dt = float(cfg.get("sim", {}).get("dt", 1.0 / 60.0))
+            e["episodeLength"] = int(round(reset_time / (cfi * dt)))
+        self.max_consecutive_successes = int(
+            e.get("maxConsecutiveSuccesses", 0))
+        # random object force perturbations (ref :616-626): persistent
+        # local-frame force with exponential decay, re-rolled per env with a
+        # static log-uniform probability
+        self.force_scale = float(e.get("forceScale", 0.0))
+        self.force_decay = float(e.get("forceDecay", 0.99))
+        self.force_decay_interval = float(e.get("forceDecayInterval", 0.08))
+        fpr = e.get("forceProbRange", (0.001, 0.1))
+        rs = np.random.RandomState(4273)
+        n_env = int(e["numEnvs"])
+        self.random_force_prob = jnp.asarray(np.exp(
+            np.log(fpr[0]) + (np.log(fpr[1]) - np.log(fpr[0]))
+            * rs.rand(n_env)), jnp.float32)
+        # actionsMovingAverage: scalar, or the AllegroHandLSTM dict form
+        # {range: [lo, hi], schedule_steps} — per-env static sample of the
+        # range (the frame-scheduled range annealing is not modeled)
+        ama = e.get("actionsMovingAverage", 1.0)
+        if isinstance(ama, dict):
+            lo, hi = ama.get("range", (1.0, 1.0))
+            self.act_moving_average = jnp.asarray(
+                lo + (hi - lo) * rs.rand(n_env, 1), jnp.float32)
+        else:
+            self.act_moving_average = float(ama)
         self.dist_reward_scale = float(e["distRewardScale"])
         self.rot_reward_scale = float(e["rotRewardScale"])
         self.rot_eps = float(e["rotEps"])
@@ -221,6 +256,7 @@ class ShadowHand(VecTaskBase):
         self.object_body = names.index("object")
         self.obj_qa = int(m.q_adr[self.object_body])
         self.obj_va = int(m.v_adr[self.object_body])
+        self.obj_mass = float(np.asarray(m.mass)[self.object_body])
         sd = self.engine.scalar_dofs
         self.hand_dofs = np.asarray(sd[:nh])
         dl = np.asarray(m.dof_lower)[self.hand_dofs]
@@ -334,7 +370,8 @@ class ShadowHand(VecTaskBase):
             goal_rot=jnp.tile(jnp.array([0.0, 0, 0, 1.0]), (n, 1)),
             successes=jnp.zeros(n, jnp.float32),
             consecutive=jnp.asarray(0.0, jnp.float32),
-            prev_targets=jnp.zeros((n, self.num_hand_dofs), jnp.float32))
+            prev_targets=jnp.zeros((n, self.num_hand_dofs), jnp.float32),
+            rb_force=jnp.zeros((n, 3), jnp.float32))
 
     def _random_quat(self, key, n):
         """Block goal randomization: rand about z then y (ref randomize_rotation)."""
@@ -357,6 +394,10 @@ class ShadowHand(VecTaskBase):
             t_act = cur[:, self.actuated] + self.dof_speed_scale * self.dt * actions
         else:
             t_act = maths.scale(actions, act_lo, act_hi)
+            ama = self.act_moving_average
+            if not (isinstance(ama, float) and ama == 1.0):
+                # target low-pass (ref :609-611): cur = a*new + (1-a)*prev
+                t_act = ama * t_act + (1.0 - ama) * cur[:, self.actuated]
         t_act = jnp.clip(t_act, act_lo, act_hi)
         targets = cur.at[:, self.actuated].set(t_act)
         # tendon-coupled distal joints follow their middle joints
@@ -365,11 +406,30 @@ class ShadowHand(VecTaskBase):
             targets = targets.at[:, self.coupled_distal].set(
                 dof_pos[:, self.coupled_distal - 1])
         self._new_targets = targets
+        f_ext = None
+        if self.force_scale > 0.0:
+            # persistent random object forces (ref :616-626): decay, re-roll
+            # per env with its static probability, apply in LOCAL space
+            k_fire, k_mag = jax.random.split(jax.random.fold_in(state.rng, 77))
+            decay = self.force_decay ** (self.dt / self.force_decay_interval)
+            rb = task.rb_force * decay
+            fire = jax.random.uniform(k_fire, (n,)) < self.random_force_prob
+            new = jax.random.normal(k_mag, (n, 3)) * self.obj_mass \
+                * self.force_scale
+            rb = jnp.where(fire[:, None], new, rb)
+            self._rb_force = rb
+            obj_quat = state.sim.q[:, self.obj_qa + 3: self.obj_qa + 7]
+            f_world = maths.quat_apply(obj_quat, rb)
+            f_ext = jnp.zeros((n, self.engine.nb, 6), jnp.float32)
+            f_ext = f_ext.at[:, self.object_body, 3:6].set(f_world)
+        else:
+            self._rb_force = task.rb_force
         pos_target = jnp.zeros((n, self.engine.nv), jnp.float32)
         pos_target = pos_target.at[:, self.hand_dofs].set(targets)
         return Control(tau=jnp.zeros((n, self.engine.nv), jnp.float32),
                        pos_target=pos_target,
-                       vel_target=jnp.zeros((n, self.engine.nv), jnp.float32))
+                       vel_target=jnp.zeros((n, self.engine.nv), jnp.float32),
+                       f_ext=f_ext)
 
     def reset_idx(self, sim: SimState, task: HandTaskState, mask, key):
         n = self.num_envs
@@ -402,7 +462,8 @@ class ShadowHand(VecTaskBase):
             goal_rot=masked_update(mask, goal, task.goal_rot),
             successes=jnp.where(mask, 0.0, task.successes),
             consecutive=task.consecutive,
-            prev_targets=masked_update(mask, dof, task.prev_targets))
+            prev_targets=masked_update(mask, dof, task.prev_targets),
+            rb_force=masked_update(mask, jnp.zeros((n, 3)), task.rb_force))
         return sim, task
 
     def post_physics(self, state: EnvState, out, actions):
@@ -428,6 +489,14 @@ class ShadowHand(VecTaskBase):
         ft_state = jnp.concatenate([ft_pos, ft_rot, ft_vel], -1)  # (N,5,13)
 
         def assemble(obs_type, dim):
+            if obs_type == "openai":
+                # ref compute_fingertip_observations(no_vel=True): fingertip
+                # positions, object position, relative goal quat, actions
+                x = jnp.concatenate([ft_pos.reshape(n, -1), obj_pos,
+                                     quat_diff, actions], -1)
+                if x.shape[-1] < dim:
+                    x = jnp.pad(x, ((0, 0), (0, dim - x.shape[-1])))
+                return x[:, :dim]
             pieces = [maths.unscale(dof_pos, self.dof_lower, self.dof_upper)]
             if obs_type != "full_no_vel":
                 pieces.append(self.vel_obs_scale * dof_vel)
@@ -479,7 +548,19 @@ class ShadowHand(VecTaskBase):
         successes = task.successes + success.astype(jnp.float32)
 
         timeout = state.progress >= self.max_episode_length - 1
-        reset = (fallen | timeout).astype(jnp.int32)
+        if self.max_consecutive_successes > 0:
+            # ref kernel :639-647: each success restarts the episode clock
+            # (resetTime semantics — the env only times out if no goal was
+            # reached for a full window), envs reset after max successes,
+            # and timing out costs half the fall penalty
+            timeout = timeout & ~success
+            reset = (fallen | timeout
+                     | (successes >= self.max_consecutive_successes)
+                     ).astype(jnp.int32)
+            reward = jnp.where(timeout, reward + 0.5 * self.fall_penalty,
+                               reward)
+        else:
+            reset = (fallen | timeout).astype(jnp.int32)
         done_count = jnp.sum(reset)
         cons = jnp.where(
             done_count > 0,
@@ -494,7 +575,9 @@ class ShadowHand(VecTaskBase):
         states = (assemble("full_state", self.num_states)
                   if self.num_states > 0 else None)
         task = HandTaskState(goal_rot=goal_rot, successes=successes,
-                             consecutive=cons, prev_targets=self._new_targets)
+                             consecutive=cons, prev_targets=self._new_targets,
+                             rb_force=getattr(self, "_rb_force",
+                                              task.rb_force))
         extras = {
             "consecutive_successes": cons, "true_objective": cons,
             # per-term diagnostics (ref extras['episode'] channel,
@@ -507,4 +590,8 @@ class ShadowHand(VecTaskBase):
                 "fall_rate_step": fallen.astype(jnp.float32),
             },
         }
+        if self.max_consecutive_successes > 0:
+            # restart the episode clock on success (resetTime semantics);
+            # consumed by VecTaskBase.step after the timeout computation
+            extras["_reset_progress_mask"] = success
         return obs, states, reward, reset, task, extras

@@ -212,8 +212,9 @@ def launch(argv=None):
             for sk, lbl in (("episode/episode/coverage", "cov"),
                             ("episode/episode/rot_dist", "rot"),
                             ("episode/episode/terrain_level", "lvl"),
-                            ("episode/adr_npd", "npd")):
-                if sk in m:
+                            ("episode/adr_npd", "npd"),
+                            ("sigma", "sig")):
+                if m.get(sk):
                     succ += f" {lbl} {m[sk]:.2f}"
             print(f"epoch {ep}/{max_epochs} reward {m['mean_return']:.2f} "
                   f"len {m['mean_length']:.0f} kl {m['kl']:.4f}{succ} "
