@@ -234,6 +234,15 @@ class AnymalTerrain(VecTaskBase):
             curriculum=self.curriculum)
         self.terrain = self.terrain_map.grid
         self._terrain_win = 2 * int(np.ceil(1.3 / self.terrain.horizontal_scale)) + 4
+        # terrain KIND per type column (same cumulative-proportion decision
+        # the generator makes, terrain.py:300-335) — powers the per-kind
+        # curriculum-level diagnostics that localize promotion stalls
+        props = np.cumsum(tc["terrainProportions"]) \
+            / np.sum(tc["terrainProportions"])
+        choices = np.arange(int(tc["numTerrains"])) / int(tc["numTerrains"]) \
+            + 0.001
+        self._type_kind = jnp.asarray(
+            np.searchsorted(props, choices), jnp.int32)
         ys = 0.1 * np.array([-5, -4, -3, -2, -1, 1, 2, 3, 4, 5])
         xs = 0.1 * np.array([-8, -7, -6, -5, -4, -3, -2, 2, 3, 4, 5, 6, 7, 8])
         gx, gy = np.meshgrid(xs, ys, indexing="ij")
@@ -466,6 +475,14 @@ class AnymalTerrain(VecTaskBase):
         }
         extras["episode"]["terrain_level"] = jnp.mean(
             task.terrain_levels.astype(jnp.float32))
+        # per-kind level means: which terrain family gates the curriculum
+        env_kind = self._type_kind[task.terrain_types]
+        lv = task.terrain_levels.astype(jnp.float32)
+        for k, kname in enumerate(("slope", "rough", "stairs", "discrete",
+                                   "stones")):
+            sel = (env_kind == k).astype(jnp.float32)
+            extras["episode"][f"lvl_{kname}"] = (
+                jnp.sum(lv * sel) / jnp.maximum(jnp.sum(sel), 1.0))
 
         task = ATTaskState(
             commands=commands, actions=actions, last_actions=actions,

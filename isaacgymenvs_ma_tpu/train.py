@@ -212,7 +212,13 @@ def launch(argv=None):
             for sk, lbl in (("episode/episode/coverage", "cov"),
                             ("episode/episode/rot_dist", "rot"),
                             ("episode/episode/terrain_level", "lvl"),
+                            ("episode/episode/lvl_slope", "slp"),
+                            ("episode/episode/lvl_rough", "rgh"),
+                            ("episode/episode/lvl_stairs", "str"),
+                            ("episode/episode/lvl_discrete", "dsc"),
+                            ("episode/episode/lvl_stones", "stn"),
                             ("episode/adr_npd", "npd"),
+                            ("episode/episode/fsm_mean", "fsm"),
                             ("sigma", "sig")):
                 if m.get(sk):
                     succ += f" {lbl} {m[sk]:.2f}"
