@@ -78,12 +78,16 @@ def _cfg_insert(name):
     cfg["env"]["numActions"] = 6
     # IndustReal policies run task-space impedance control
     cfg["ctrl"]["ctrl_type"] = "task_space_impedance"
+    # IndustRealTaskPegsInsert.yaml: mode section has no gripper gains —
+    # they come from ``all`` (500/2, an order softer derivative than
+    # gym_default's 500/20)
+    cfg["ctrl"]["all"] = {"jacobian_type": "geometric",
+                          "gripper_prop_gains": [500.0, 500.0],
+                          "gripper_deriv_gains": [2.0, 2.0]}
     cfg["ctrl"]["task_space_impedance"] = {
         "motion_ctrl_axes": [1, 1, 1, 1, 1, 1],
         "task_prop_gains": [300.0, 300.0, 300.0, 50.0, 50.0, 50.0],
-        "task_deriv_gains": [34.0, 34.0, 34.0, 1.4, 1.4, 1.4],
-        "gripper_prop_gains": [500.0, 500.0],
-        "gripper_deriv_gains": [20.0, 20.0]}
+        "task_deriv_gains": [34.0, 34.0, 34.0, 1.4, 1.4, 1.4]}
     return cfg
 
 
