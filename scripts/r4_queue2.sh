@@ -14,3 +14,6 @@ python scripts/bench_suite.py > runs_r4/bench_suite.log 2>&1
 python bench.py > runs_r4/bench_headline.log 2>&1
 
 echo done > runs_r4/queue2.done
+# appended: perf-floor breakdown after the bench refresh (VERDICT weak #5)
+python scripts/profile_floor.py > runs_r4/profile_floor.log 2>&1
+echo done > runs_r4/queue2b.done
