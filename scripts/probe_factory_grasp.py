@@ -20,11 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from isaacgymenvs_ma_tpu.tasks.factory import (
-    FactoryTaskNutBoltPick, TASK_CFGS, TABLE_HEIGHT, NUT_HEIGHT,
-    GRIPPER_WIDTH_MAX)
-from isaacgymenvs_ma_tpu.physics.engine import Control, SimState
+    FactoryTaskNutBoltPick, TASK_CFGS, TABLE_HEIGHT, NUT_HEIGHT)
+from isaacgymenvs_ma_tpu.physics.engine import SimState
 from isaacgymenvs_ma_tpu.ops import controllers as fc
-from isaacgymenvs_ma_tpu.ops import maths
 import copy
 
 
@@ -67,8 +65,6 @@ def main():
 
     state = state._replace(sim=sim)
     lifted = jax.jit(task.evaluate_lift)(state)
-    out2 = task.engine.forward(task._last_eval_sim) \
-        if hasattr(task, "_last_eval_sim") else None
     print(f"close-and-lift success: {float(lifted.mean()):.3f} "
           f"({int(lifted.sum())}/{n})  per-env: {np.asarray(lifted)}")
     # ~0.85-0.95 across seeds from the scripted ideal pose (residual
