@@ -257,11 +257,17 @@ class FactoryBase(VecTaskBase):
         names = [g.name for g in model.geoms]
         pairs = []
         nut_geom = names.index("nut_geom")
+        table = names.index("table_top")
         for pn in names:
             if pn.startswith("pad_"):
                 pairs.append((names.index(pn), nut_geom))
+                # fingers collide with the tabletop (the reference franka's
+                # collision meshes do): without this the policy's descent
+                # has no floor — trained policies sank the gripper 10+ cm
+                # BELOW the grasp frame through the table
+                pairs.append((names.index(pn), table))
         if self.nut_free:
-            pairs.append((nut_geom, names.index("table_top")))
+            pairs.append((nut_geom, table))
             if "bolt_geom" in names:
                 pairs.append((nut_geom, names.index("bolt_geom")))
         return PhysicsEngine(model, self.sim_params, ground=ground,
