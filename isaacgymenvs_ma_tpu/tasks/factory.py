@@ -428,6 +428,12 @@ TASK_CFG_SCREW["ctrl"]["operational_space_motion"] = {
     "motion_ctrl_axes": [0, 0, 1, 0, 0, 1],
     "task_prop_gains": [1.0, 1, 1, 1, 1, 200.0],
     "task_deriv_gains": [1.0] * 6}
+# screw starts GRASPING the nut atop the bolt: fixed arm pose, no gripper
+# randomization (FactoryTaskNutBoltScrew.yaml:20, _reset_franka :173-181)
+TASK_CFG_SCREW["randomize"]["franka_arm_initial_dof_pos"] = [
+    1.5178e-03, -1.9651e-01, -1.4364e-03, -1.9761e+00, -2.7717e-04,
+    1.7796e+00, 7.8556e-01]
+TASK_CFG_SCREW["randomize"]["nut_rot_initial"] = 30.0
 TASK_CFG = TASK_CFG_PICK
 
 
@@ -718,19 +724,40 @@ class FactoryTaskNutBoltScrew(FactoryBase):
                         density=7850.0, friction=0.8, name="nut_geom")
         return [(bb.finalize(), (0, 0, 0), (0, 0, 0, 1))]
 
-    def _reset_objects(self, sim, mask, key):
-        """Nut starts at the top of the shank; fingers closed on its flats."""
+    def reset_idx(self, sim: SimState, task, mask, key):
+        """Screw reset (ref _reset_franka :173-181): the arm goes to the
+        FIXED grasp pose over the bolt — no gripper-pose randomization (the
+        base class's random IK left the gripper 20 cm from the nut and the
+        ``slipped`` guard ended every episode at step 1) — with a 1.1x
+        nut-half-width finger buffer to avoid initial contact."""
         n = self.num_envs
+        arm = jnp.asarray(self.cfg_rand["franka_arm_initial_dof_pos"],
+                          jnp.float32)
+        dof9 = jnp.concatenate([
+            jnp.broadcast_to(arm, (n, 7)),
+            jnp.full((n, 2), NUT_WIDTH / 2 * 1.1)], -1)
+        dof = self.engine.dof_pos(sim)
+        dof = dof.at[:, self.franka_dofs].set(
+            masked_update(mask, dof9, dof[:, self.franka_dofs]))
+        sim = self.engine.set_dof_pos(sim, dof)
+        qd = jnp.where(mask[:, None], jnp.zeros_like(sim.qd), sim.qd)
+        sim = self._reset_objects(SimState(sim.q, qd), mask, key)
+        if hasattr(task, "lift_success"):
+            task = task._replace(lift_success=jnp.where(
+                mask, 0.0, task.lift_success))
+        return sim, task
+
+    def _reset_objects(self, sim, mask, key):
+        """Nut starts at the top of the shank, rotated nut_rot_initial."""
         m = self.model
         qa = int(m.q_adr[self.nut_body])
         va = int(m.v_adr[self.nut_body])
-        q = sim.q.at[:, qa].set(jnp.where(mask, 0.0, sim.q[:, qa]))
+        # SCREW joint coordinate: +q descends; nut_rot_initial (deg) of
+        # pre-engagement (ref _reset_object :195-200)
+        q0 = float(np.radians(self.cfg_rand.get("nut_rot_initial", 0.0)))
+        q = sim.q.at[:, qa].set(jnp.where(mask, q0, sim.q[:, qa]))
         qd = sim.qd.at[:, va].set(jnp.where(mask, 0.0, sim.qd[:, va]))
-        dof = self.engine.dof_pos(SimState(q, qd))
-        dof = dof.at[:, self.franka_dofs[7:9]].set(
-            masked_update(mask, jnp.full((n, 2), NUT_WIDTH / 2),
-                          dof[:, self.franka_dofs[7:9]]))
-        return self.engine.set_dof_pos(SimState(q, qd), dof)
+        return SimState(q, qd)
 
     def post_physics(self, state: EnvState, out, actions):
         n = self.num_envs
@@ -750,8 +777,16 @@ class FactoryTaskNutBoltScrew(FactoryBase):
                                        jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]),
                                                 (n, 1)))
         nut_kp_dist = jnp.sum(jnp.linalg.norm(kp_targ - kp_nut, axis=-1), -1)
+        # fingerpad midpoint = finger-origin midpoint translated along the
+        # hand z to the pad centers (ref _refresh_task_tensors :96-99 —
+        # using the raw finger origins put the "slip" point 5 cm above the
+        # pads and ended every episode at step 1)
+        pad_off = maths.quat_apply(
+            out.body_quat[:, self.hand_body],
+            jnp.asarray([0.0, 0.0, FRANKA_FINGER_LENGTH
+                         - FRANKA_FINGERPAD_LENGTH * 0.5], jnp.float32))
         pad_mid = 0.5 * (out.body_pos[:, self.lf_body]
-                         + out.body_pos[:, self.rf_body])
+                         + out.body_pos[:, self.rf_body]) + pad_off
         finger_nut_dist = jnp.linalg.norm(pad_mid - nut_pos, axis=-1)
 
         action_penalty = jnp.linalg.norm(actions, axis=-1)
