@@ -204,7 +204,14 @@ class FactoryBase(VecTaskBase):
         franka = build_franka(hand_contact_sphere=0.0)
         for d in range(franka.nv):
             franka.dof_drive_mode[d] = 0  # torque control via controllers
-            franka.dof_damping[d] = max(franka.dof_damping[d], 0.5)
+            # Zero passive joint damping (ref factory_base.py:414-416:
+            # DOF_MODE_EFFORT with stiffness/damping = 0).  build_franka's
+            # default damping of 10 N*m*s/rad swamped the weak factory
+            # gains (40/8 arm, 50/2 gripper): the closed loop crawled at
+            # ~tau/10 rad/s and stalled ~7-10 cm from any target — the
+            # round-3/4 "policy ends 5-8 cm off the grasp pose" plateau
+            # was this, not an RL failure (scripts/probe_pick_stepresp.py).
+            franka.dof_damping[d] = 0.0
         # Fingerpad contact clouds on both finger tips: a 3x2 grid of 4 mm
         # spheres covering the FLAT pad face (the real Franka pad is a
         # plane; a single-sphere pad gave a 2-point knife-edge pinch that
