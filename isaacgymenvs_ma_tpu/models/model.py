@@ -226,6 +226,13 @@ class SceneModel:
     # franka is simulated gravity-free, factory_base.py:132)
     body_gravity: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0))
+    # per-body rigid damping (asset_options.linear/angular_damping — the
+    # Factory franka sets 1.0/5.0 when sim.add_damping, factory_base.py:
+    # 122-125); empty = zeros
+    body_lin_damping: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))
+    body_ang_damping: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))
     # per-dof Coulomb (dry) friction torque bound, N*m (PhysX
     # dof_properties['friction'] — e.g. allegro_hand.py:266 sets 0.01);
     # empty = zeros
@@ -702,6 +709,14 @@ def compose_scene(parts) -> SceneModel:
         gv.append(m.body_gravity if len(m.body_gravity) == m.nb
                   else np.ones(m.nb))
     out.body_gravity = np.concatenate(gv) if gv else np.ones(out.nb)
+    out.body_lin_damping = np.concatenate(
+        [m.body_lin_damping if len(m.body_lin_damping) == m.nb
+         else np.zeros(m.nb) for m, _, _ in parts]) \
+        if parts else np.zeros(out.nb)
+    out.body_ang_damping = np.concatenate(
+        [m.body_ang_damping if len(m.body_ang_damping) == m.nb
+         else np.zeros(m.nb) for m, _, _ in parts]) \
+        if parts else np.zeros(out.nb)
     # stitch per-dof DRIVE config (mode / kp / kd).  These live only on the
     # finalized SceneModel arrays (ModelBuilder bodies don't carry them), so
     # tasks set them on part models BEFORE composing — dropping them here

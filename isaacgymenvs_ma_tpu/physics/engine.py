@@ -336,6 +336,17 @@ class PhysicsEngine:
         self.grav_mask = f32(np.asarray(m.body_gravity)
                              if len(getattr(m, "body_gravity", [])) == m.nb
                              else np.ones(m.nb))
+        # per-body rigid damping (PhysX asset_options.linear/angular_damping
+        # — the Factory franka sets 1.0/5.0 "to improve stability",
+        # factory_base.py:122-125): dissipative wrench -d_lin*m*v_com /
+        # -d_ang*(R I R^T) w, the stabilizer for task axes the factory OSC
+        # leaves uncontrolled
+        bld = np.asarray(getattr(m, "body_lin_damping", np.zeros(0)))
+        bad = np.asarray(getattr(m, "body_ang_damping", np.zeros(0)))
+        self.body_damp_lin = f32(bld if len(bld) == m.nb else np.zeros(m.nb))
+        self.body_damp_ang = f32(bad if len(bad) == m.nb else np.zeros(m.nb))
+        self.has_body_damping = bool((len(bld) == m.nb and bld.any())
+                                     or (len(bad) == m.nb and bad.any()))
         self.mass = f32(m.mass)
         self.com = f32(m.com)
         self.inertia = f32(m.inertia)
@@ -882,6 +893,24 @@ class PhysicsEngine:
             n_o = n_b + _cross(body_x, f_b)
             f_o = jnp.concatenate([n_o, f_b], axis=-1)         # (N, nb, 6)
             rhs = rhs + jnp.einsum("nvd,vb,nbd->nv", S, self.dof_body_mask_f, f_o)
+
+        if self.has_body_damping:
+            # per-body rigid damping (PhysX linear/angular_damping): force
+            # -d_lin*m*v_com at the COM, torque -d_ang*L_world.  Explicit is
+            # stable here: max(d)*h ~ 5/120 per substep.
+            Vb = V if V is not None else self.body_velocities(S, qd)
+            w_b, v_O = Vb[..., 0:3], Vb[..., 3:6]
+            com_w = body_x + maths.quat_apply(body_q, self.com[None])
+            v_com = v_O + jnp.cross(w_b, com_w)
+            F = -(self.body_damp_lin * self.mass)[None, :, None] * v_com
+            w_loc = maths.quat_apply(maths.quat_conjugate(body_q), w_b)
+            L_w = maths.quat_apply(
+                body_q, jnp.einsum("bij,nbj->nbi", self.inertia, w_loc))
+            tau_com = -self.body_damp_ang[None, :, None] * L_w
+            n_O = tau_com + jnp.cross(com_w, F)
+            f_damp = jnp.concatenate([n_O, F], axis=-1)
+            rhs = rhs + jnp.einsum("nvd,vb,nbd->nv", S,
+                                   self.dof_body_mask_f, f_damp)
 
         diag = (armature + h * d_damp + h * h * k_spring
                 + imp * (h * kd_drive + h * h * kp_drive))

@@ -57,6 +57,7 @@ BOLT_WIDTH = 0.016         # shank diameter
 BOLT_HEAD_HEIGHT = 0.016
 BOLT_SHANK_LENGTH = 0.025
 THREAD_PITCH = 0.002
+FRANKA_HAND_LENGTH = 0.0584   # factory_asset_info_franka_table.yaml:1
 FRANKA_FINGER_LENGTH = 0.053671
 FRANKA_FINGERPAD_LENGTH = 0.017608
 GRIPPER_WIDTH_MAX = 0.08
@@ -212,6 +213,28 @@ class FactoryBase(VecTaskBase):
             # round-3/4 "policy ends 5-8 cm off the grasp pose" plateau
             # was this, not an RL failure (scripts/probe_pick_stepresp.py).
             franka.dof_damping[d] = 0.0
+        # The factory franka URDF REMOVES the joint-7 limit (and its damping):
+        # assets/factory/urdf/factory_franka.urdf:147-154 comments out
+        # ``<limit effort="12" lower="-2.8973" upper="2.8973" .../>`` — the
+        # wrist is a continuous revolute.  This is what makes NutBoltScrew
+        # solvable: 1.85 cm of descent = ~9 revolutions = 58 rad of nut
+        # rotation, far beyond a +-2.9 rad wrist; with unidirectional_rot
+        # the policy just keeps yawing clockwise.  (+-1e9 survives
+        # compose_scene's limit round-trip; has_limit is re-derived from the
+        # +-1e8 sentinel, model.py:510-512.)
+        franka.dof_lower[6] = -1e9
+        franka.dof_upper[6] = 1e9
+        franka.dof_has_limit[6] = False
+        # sim.add_damping (FactoryBase.yaml:17, default True): franka links
+        # get rigid linear/angular damping 1.0/5.0 "to improve stability"
+        # (factory_base.py:122-125).  This is the stabilizer for the task
+        # axes the factory controllers leave uncontrolled (e.g. the Screw
+        # OSC controls only z + yaw): without it the hand random-walks
+        # laterally off the spinning nut in ~200 steps
+        # (scripts/probe_screw_descent.py).
+        if self.cfg.get("sim", {}).get("add_damping", True):
+            franka.body_lin_damping = np.ones(franka.nb)
+            franka.body_ang_damping = np.full(franka.nb, 5.0)
         # Fingerpad contact clouds on both finger tips: a 3x2 grid of 4 mm
         # spheres covering the FLAT pad face (the real Franka pad is a
         # plane; a single-sphere pad gave a 2-point knife-edge pinch that
@@ -228,6 +251,18 @@ class FactoryBase(VecTaskBase):
                 pos=np.array([0.0, 0.0, 0.0]),
                 quat=np.array([0.0, 0, 0, 1]), friction=1.0, contact=True,
                 contact_points=pad_pts, name=f"pad_{n}"))
+            # flat pad face as an analytic box SDF target (used by the
+            # Screw task's inverted nut-points-vs-pad-plane pairs; inert
+            # otherwise) — the 4 mm y half-extent matches the sphere pads'
+            # contact surface
+            franka.geoms.append(Geom(
+                body=b, gtype=GEOM_BOX,
+                size=np.array([0.008, 0.004,
+                               FRANKA_FINGERPAD_LENGTH / 2]),
+                pos=np.array([0.0, 0.0, FRANKA_FINGER_LENGTH
+                              - FRANKA_FINGERPAD_LENGTH / 2]),
+                quat=np.array([0.0, 0, 0, 1]), friction=1.0, contact=False,
+                name=f"padbox_{n}"))
         tb = ModelBuilder()
         tb.begin_actor()
         tbody = tb.add_body("table", -1, FIXED,
@@ -307,7 +342,15 @@ class FactoryBase(VecTaskBase):
         J, M_arm, ft_pos, ft_quat, lin, ang = self._arm_readouts(sim)
         pos_actions = actions[:, 0:3] * (self.pos_scale if do_scale else 1.0)
         target_pos = ft_pos + pos_actions
-        rot_actions = actions[:, 3:6] * (self.rot_scale if do_scale else 1.0)
+        rot_actions = actions[:, 3:6]
+        if do_scale and self.cfg_rl.get("unidirectional_rot"):
+            # constrain the z-rot action to [-1, 0]: the wrist only ever yaws
+            # clockwise = the screw-down direction (ref
+            # factory_task_nut_bolt_screw.py:254-255, Screw yaml
+            # unidirectional_rot: True)
+            rot_actions = rot_actions.at[:, 2].set(
+                -(rot_actions[:, 2] + 1.0) * 0.5)
+        rot_actions = rot_actions * (self.rot_scale if do_scale else 1.0)
         angle = jnp.linalg.norm(rot_actions, axis=-1)
         axis = rot_actions / jnp.maximum(angle, 1e-9)[:, None]
         rot_quat = maths.quat_from_angle_axis(angle, axis)
@@ -415,7 +458,7 @@ class FactoryBase(VecTaskBase):
 # ---------------------------------------------------------------------------
 TASK_CFG_PICK = _base_cfg("FactoryTaskNutBoltPick", 20, 12, 100)
 TASK_CFG_PLACE = _base_cfg("FactoryTaskNutBoltPlace", 27, 12, 200)
-TASK_CFG_SCREW = _base_cfg("FactoryTaskNutBoltScrew", 32, 12, 1024)
+TASK_CFG_SCREW = _base_cfg("FactoryTaskNutBoltScrew", 32, 12, 8192)
 # Per-task gripper gains from each reference yaml's ``all`` section — an
 # order of magnitude softer than gym_default's 500/20 (a 500-gain squeeze
 # ejects the 28 g nut; 50/2 closes at ~2 N and grips cleanly):
@@ -430,6 +473,7 @@ TASK_CFG_PLACE["ctrl"]["all"] = {"jacobian_type": "geometric",
 TASK_CFG_SCREW["ctrl"]["all"] = {"jacobian_type": "geometric",
                                  "gripper_prop_gains": [100.0, 100.0],
                                  "gripper_deriv_gains": [1.0, 1.0]}
+TASK_CFG_SCREW["rl"]["unidirectional_rot"] = True  # Screw yaml:29
 TASK_CFG_SCREW["ctrl"]["ctrl_type"] = "operational_space_motion"
 TASK_CFG_SCREW["ctrl"]["operational_space_motion"] = {
     "motion_ctrl_axes": [0, 0, 1, 0, 0, 1],
@@ -689,6 +733,16 @@ class FactoryTaskNutBoltScrew(FactoryBase):
 
     nut_free = False
 
+    def build_engine(self, model, ground):
+        """Inverted grip pairs: nut corner/rim points vs the pad-face box
+        SDFs, so every grip normal is the pad normal (see _extra_parts)."""
+        names = [g.name for g in model.geoms]
+        nut_geom = names.index("nut_geom")
+        pairs = [(nut_geom, names.index(f"padbox_panda_{s}finger"))
+                 for s in ("left", "right")]
+        return PhysicsEngine(model, self.sim_params, ground=ground,
+                             pair_specs=pairs)
+
     def _gripper_target_rl(self):
         return 0.0
 
@@ -703,27 +757,56 @@ class FactoryTaskNutBoltScrew(FactoryBase):
                     pos=np.array([0, 0,
                                   (BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH) / 2]),
                     friction=0.3, contact=False, name="bolt_geom")
-        # nut on the screw joint: +q rotates clockwise and descends
-        # travel: from the shank tip down to resting on the bolt head
-        # (nut center at head + nut/2 — the screw-task target height)
-        travel = BOLT_SHANK_LENGTH - NUT_HEIGHT * 0.5
+        # nut on the screw joint: +q rotates clockwise and descends.
+        # Start: nut BOTTOM flush with the shank tip, COM at table + shank +
+        # bolt_head + nut/2 = 0.4475 (ref _reset_object :202-211 root z =
+        # table + shank_length with the asset origin bolt_head below the
+        # COM).  Round-4 started the COM at the shank tip — 6.5 mm lower —
+        # which burned 9 of the 15.3 mm slip-guard budget at reset against
+        # the reference-tuned fixed grasp arm pose.
+        # Travel: down to seated on the bolt head (COM at head + nut/2) =
+        # full shank length = 12.5 revolutions.
+        travel = BOLT_SHANK_LENGTH
         nut = bb.add_body(
             "nut", bolt, SCREW, jnt_axis=(0, 0, -1.0),
             jnt_pitch=THREAD_PITCH,
-            body_pos=(0.0, 0.0, BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH),
+            body_pos=(0.0, 0.0, BOLT_HEAD_HEIGHT + BOLT_SHANK_LENGTH
+                      + NUT_HEIGHT * 0.5),
             limit_lower=[0.0],
             limit_upper=[2 * np.pi * travel / THREAD_PITCH],
             damping=0.02)
         if self.use_mesh_sdf:
-            # hex-mesh SDF pad target: gripper friction acts on the real
-            # flats while the SCREW joint supplies the exact thread kinematics
+            # INVERTED contact representation for the spinning grip: the
+            # nut carries its corner/flat-rim candidate cloud and collides
+            # against analytic BOX SDFs on the fingerpads (build_engine
+            # below).  With points-on-pads vs the hex SDF, the contact
+            # normal came from the hex gradient: +-30 degree swings per flat
+            # and a 60-degree flip at every corner passage (~20/s while
+            # spinning) laterally kicked the hand — which has NO control
+            # authority in x/y under the Screw OSC — past the 15.3 mm slip
+            # guard every ~200 steps (a smooth-cylinder proxy was worse: a
+            # convex body pinched between point pads is an unstable
+            # marble-squirt equilibrium).  Points-on-nut vs the pad PLANE
+            # makes every grip normal the pad face normal — pure squeeze,
+            # zero lateral bias — which is exactly the reference's
+            # plane-pad-on-flat mesh behavior (scripts/probe_screw_descent).
             from ..models import meshes
             nv_, nt_ = meshes.hex_nut_mesh(NUT_WIDTH, NUT_HEIGHT, NUT_HOLE_R)
+            cp = meshes.hex_nut_contact_points(NUT_WIDTH, NUT_HEIGHT,
+                                               NUT_HOLE_R)
+            # mid-height corner/flat rings: the rim rings sit at the pad
+            # box's z-edges (where box-SDF normals tilt); mid-height points
+            # stay on the clean face and carry the grip with pure +-y
+            # normals
+            mid = np.concatenate([
+                meshes._ring(NUT_WIDTH / np.sqrt(3.0), 0.0, 6),
+                meshes._ring(NUT_WIDTH / 2.0, 0.0, 6, np.pi / 6)])
+            cp = np.concatenate([cp, mid.astype(np.float32)])
             solid = meshes.cylinder_mesh(NUT_WIDTH / np.sqrt(3.0),
                                          NUT_HEIGHT / 2.0, n=6)
             bb.add_sdf_geom(nut, nv_, nt_, density=7850.0, friction=0.8,
-                            resolution=40, sdf_from=[solid],
-                            name="nut_geom")
+                            resolution=40, contact_points=cp,
+                            sdf_from=[solid], name="nut_geom")
         else:
             bb.add_geom(nut, GEOM_BOX,
                         np.array([NUT_WIDTH / 2, NUT_WIDTH / 2,
@@ -778,12 +861,22 @@ class FactoryTaskNutBoltScrew(FactoryBase):
             jnp.float32)
         dist_to_target = jnp.linalg.norm(target - nut_pos, axis=-1)
 
-        # 4-keypoint axis distance (ref _get_keypoint_dist body='nut')
-        kp_nut = self._keypoints_from(nut_pos, nut_quat)
-        kp_targ = self._keypoints_from(jnp.broadcast_to(target, (n, 3)),
-                                       jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]),
-                                                (n, 1)))
-        nut_kp_dist = jnp.sum(jnp.linalg.norm(kp_targ - kp_nut, axis=-1), -1)
+        # 4-point axis-keypoint distances (ref _get_keypoint_dist :289-339):
+        # endpoints + 1/3 + 2/3 along a hand+finger-length axis.
+        axis_len = FRANKA_HAND_LENGTH + FRANKA_FINGER_LENGTH
+        fracs = jnp.asarray([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0])[None, :, None]
+
+        def axis_kp_dist(p1, p2, t1, t2):
+            kp = p1[:, None, :] + (p2 - p1)[:, None, :] * fracs
+            kt = t1[:, None, :] + (t2 - t1)[:, None, :] * fracs
+            return jnp.sum(jnp.linalg.norm(kt - kp, axis=-1), -1)
+
+        up = jnp.asarray([0.0, 0.0, axis_len], jnp.float32)
+        targ_n = jnp.broadcast_to(target, (n, 3))
+        # body='nut': nut axis (COM -> +local z * L) vs target axis
+        nut_kp_dist = axis_kp_dist(
+            nut_pos, nut_pos + maths.quat_apply(nut_quat, up),
+            targ_n, targ_n + up)
         # fingerpad midpoint = finger-origin midpoint translated along the
         # hand z to the pad centers (ref _refresh_task_tensors :96-99 —
         # using the raw finger origins put the "slip" point 5 cm above the
@@ -795,10 +888,16 @@ class FactoryTaskNutBoltScrew(FactoryBase):
         pad_mid = 0.5 * (out.body_pos[:, self.lf_body]
                          + out.body_pos[:, self.rf_body]) + pad_off
         finger_nut_dist = jnp.linalg.norm(pad_mid - nut_pos, axis=-1)
+        # body='finger_nut': fingerpad axis (pad midpoint -> -fingertip local
+        # z * L, i.e. back up the hand) vs the nut's +z axis
+        ft_down = maths.quat_apply(ft_quat, -up)
+        finger_nut_kp_dist = axis_kp_dist(
+            pad_mid, pad_mid + ft_down,
+            nut_pos, nut_pos + maths.quat_apply(nut_quat, up))
 
         action_penalty = jnp.linalg.norm(actions, axis=-1)
         success = dist_to_target < THREAD_PITCH
-        reward = -(nut_kp_dist + finger_nut_dist) \
+        reward = -(nut_kp_dist + finger_nut_kp_dist) \
             * self.cfg_rl["keypoint_reward_scale"] \
             - action_penalty * self.cfg_rl["action_penalty_scale"] \
             + success.astype(jnp.float32) * self.cfg_rl["success_bonus"]
