@@ -1718,18 +1718,25 @@ class PhysicsEngine:
             # resting cloud cannot amplify a horizontal gripper squeeze —
             # raw per-body counts throttled the squeeze impulse by the
             # resting-row count and the fingerpads sailed through the nut).
-            # Weight each row's count by its normal's squared components:
-            # counts (N, nb, 3) = sum_r active * oh * n^2; per-row effective
-            # count = sum_b oh * (n^2 . counts_b) — reduces exactly to the
-            # old per-body count when all rows share an axis.
+            # Weight by the full normal outer-product per body:
+            # counts_b = sum_r active * oh * n_r n_r^T (N, nb, 3, 3);
+            # per-row effective count = sum_b oh * n^T counts_b n.  This is
+            # sum_i (n . n_i)^2 over coincident rows — exact for ANY shared
+            # direction (R identical rows give exactly R, axis-aligned or
+            # oblique; the earlier squared-COMPONENT weighting undercounted
+            # a diagonal normal 3x, which capped the stability guarantee at
+            # relaxation < 2/3 — advisor r4 finding), and still direction-
+            # aware (orthogonal resting rows cannot throttle a gripper
+            # squeeze).
             if frames_rows is not None:
                 n_w = frames_rows[..., :, 2]                # (N, R, 3) world n
             else:
                 n_w = jnp.broadcast_to(
                     jnp.asarray([0.0, 0.0, 1.0], qd.dtype), (N, R_rows, 3))
-            n2 = n_w * n_w
-            counts = jnp.einsum("nr,nrb,nrk->nbk", af, oh_rows, n2)
-            n_r = jnp.einsum("nbk,nrb,nrk->nr", counts, oh_rows, n2)
+            counts = jnp.einsum("nr,nrb,nrk,nrl->nbkl", af, oh_rows,
+                                n_w, n_w)
+            n_r = jnp.einsum("nbkl,nrb,nrk,nrl->nr", counts, oh_rows,
+                             n_w, n_w)
             row_scale = 1.0 / jnp.maximum(n_r, 1.0)
 
         # Row Jacobians live in the flat (N, C*3, nv) layout so the

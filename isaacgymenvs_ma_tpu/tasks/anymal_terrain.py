@@ -236,13 +236,17 @@ class AnymalTerrain(VecTaskBase):
         self._terrain_win = 2 * int(np.ceil(1.3 / self.terrain.horizontal_scale)) + 4
         # terrain KIND per type column (same cumulative-proportion decision
         # the generator makes, terrain.py:300-335) — powers the per-kind
-        # curriculum-level diagnostics that localize promotion stalls
+        # curriculum-level diagnostics that localize promotion stalls.
+        # Only valid under curriculum=True (choice = j/num_types); the
+        # non-curriculum generator draws random choices per cell, so the
+        # per-kind labels would be wrong — mark them invalid (-1) there.
         props = np.cumsum(tc["terrainProportions"]) \
             / np.sum(tc["terrainProportions"])
         choices = np.arange(int(tc["numTerrains"])) / int(tc["numTerrains"]) \
             + 0.001
         self._type_kind = jnp.asarray(
-            np.searchsorted(props, choices), jnp.int32)
+            np.searchsorted(props, choices) if self.curriculum
+            else np.full(int(tc["numTerrains"]), -1), jnp.int32)
         ys = 0.1 * np.array([-5, -4, -3, -2, -1, 1, 2, 3, 4, 5])
         xs = 0.1 * np.array([-8, -7, -6, -5, -4, -3, -2, 2, 3, 4, 5, 6, 7, 8])
         gx, gy = np.meshgrid(xs, ys, indexing="ij")

@@ -220,7 +220,7 @@ def launch(argv=None):
                             ("episode/adr_npd", "npd"),
                             ("episode/episode/fsm_mean", "fsm"),
                             ("sigma", "sig")):
-                if m.get(sk):
+                if m.get(sk) is not None:
                     succ += f" {lbl} {m[sk]:.2f}"
             print(f"epoch {ep}/{max_epochs} reward {m['mean_return']:.2f} "
                   f"len {m['mean_length']:.0f} kl {m['kl']:.4f}{succ} "
