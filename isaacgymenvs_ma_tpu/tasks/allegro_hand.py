@@ -66,6 +66,18 @@ class AllegroHand(ShadowHand):
                                pos=np.array([-0.008, 0.009, -0.0075]),
                                quat=np.array([0.0, 0, 0, 1]), friction=1.0,
                                contact=True, name="palm_box"))
+        # Thick fill slab continuing below the thin palmar slab (the real
+        # palm mesh is solid down to z=-0.098): a cube corner falling at
+        # ~1 m/s crosses the 1.5 cm slab in two substeps, reads "outside"
+        # beneath it, and the cube wedges UNDER the palm out of every
+        # fingertip's reach — the frozen-cube state behind four rounds of
+        # Allegro non-reorientation.  (palm_box itself stays thin: it is
+        # the _palm_up_placement alignment anchor.)
+        hand.geoms.append(Geom(body=palm, gtype=GEOM_BOX,
+                               size=np.array([0.05, 0.058, 0.035]),
+                               pos=np.array([-0.008, 0.009, -0.05]),
+                               quat=np.array([0.0, 0, 0, 1]), friction=1.0,
+                               contact=True, name="palm_fill"))
         for n in FINGERTIPS:
             b = hand.body_names.index(n)
             hand.geoms.append(Geom(body=b, gtype=GEOM_SPHERE,
@@ -112,9 +124,18 @@ class AllegroHand(ShadowHand):
         Rq = _quat_to_mat_np(np.asarray(quat, float))
         # cube over the palm/proximal-link junction (palm-frame +x is
         # distal; ref spawns at dy=-0.19/dz=+0.06 from the hand root —
-        # over the finger bases, where the resting cube touches the links)
+        # over the finger bases, where the resting cube touches the links).
+        # Spawn height: the knuckle pad spheres top out 1.9 cm above the
+        # palm anchor (0.556+0.0134 world) and the slab face at +0.0075;
+        # the old +0.05 put the 3.25 cm-half cube's bottom 1.5-4 cm INSIDE
+        # them — the solver ejected it downward at ~10 m/s on the first
+        # step and it wedged under the palm, 10-17 cm out of every
+        # fingertip's reach.  That frozen-cube state was all four rounds of
+        # "Allegro never reorients" (scripts/probe_allegro_tumble.py:
+        # blind-gait cube speed 0.2 rad/s before, ShadowHand-level after).
+        # +0.068 clears the knuckles by ~1 cm and drops into the pocket.
         self.obj_start = (PALM_TARGET + Rq @ np.array([0.05, 0.009, 0.0])
-                          + np.array([0.0, 0.0, 0.05]))
+                          + np.array([0.0, 0.0, 0.068]))
         self.goal_pos = self.obj_start + np.array([0.0, 0.0, -0.04])
         ob = ModelBuilder()
         ob.begin_actor()
@@ -135,6 +156,7 @@ class AllegroHand(ShadowHand):
         pairs = [(names.index(n), obj_geom) for n in names
                  if n.startswith(("tip_", "pad_")) or n == "palm_box"]
         pairs.append((obj_geom, names.index("palm_box")))
+        pairs.append((obj_geom, names.index("palm_fill")))
         return PhysicsEngine(model, self.sim_params, ground=ground,
                              pair_specs=pairs)
 

@@ -71,9 +71,11 @@ def test_speculative_margin_stops_thin_wall_tunneling():
     x_no_margin = _fly_at_wall(0.0)
     x_margin = _fly_at_wall(0.012)
     # without the margin the probe crosses the wall (ends on +x side);
-    # with it the probe is stopped on the -x side
+    # with it the probe is stopped at/behind the contact surface on the -x
+    # side (surface = wall half-thickness 1 mm + probe radius 2 mm; a
+    # perfectly resolved inelastic stop rests exactly at -3 mm)
     assert x_no_margin > 0.0, f"expected tunneling baseline, got {x_no_margin}"
-    assert x_margin < -0.005, f"probe crossed despite margin: {x_margin}"
+    assert x_margin < -0.0025, f"probe crossed despite margin: {x_margin}"
 
 
 def test_contact_margin_parsed_from_physx_contact_offset():
