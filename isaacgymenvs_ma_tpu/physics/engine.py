@@ -1274,6 +1274,9 @@ class PhysicsEngine:
         kernel_on = kernel_on and not pr.mass_splitting
         # restitution needs the post-J bounce-target lift the kernel lacks
         kernel_on = kernel_on and restitution is None
+        # terrain ground rows now carry surface-normal frames the fused
+        # kernel does not model — terrain scenes stay on the XLA loop
+        kernel_on = kernel_on and terrain is None
         use_kernel = (kernel_on and hinv_bl is not None
                       and n_ground + self.n_pair_rows > 0
                       and ck.supports(
@@ -1295,16 +1298,27 @@ class PhysicsEngine:
                     "pruned candidates on a fixed-base tree; rebuild the "
                     "engine without fixed-base trees or disable pruning for "
                     "this scene")
+            n_terr = None
             if self.ground and n_ground:
                 p = self._contact_points(body_x, body_q, shape_scale)
                 if terrain is None:
                     ground_z = jnp.zeros(p.shape[:-1], p.dtype)
                 else:
                     ground_z = terrain.height_at(p[..., 0], p[..., 1])
+                    n_terr = terrain.normal_at(p[..., 0], p[..., 1])
                 rad = self.gnd_rad
                 if shape_scale is not None:
                     rad = rad * jnp.mean(shape_scale[:, self.gnd_body], axis=-1)
-                phi = p[..., 2] - rad - ground_z                   # (N, P)
+                if n_terr is None:
+                    phi = p[..., 2] - rad - ground_z               # (N, P)
+                else:
+                    # gap measured along the surface normal: vertical gap
+                    # projected by n_z (exact for a planar slope); radius
+                    # applies along the normal.  On near-vertical gap walls
+                    # (n_z ~ 0) this reads a shallow lateral penetration
+                    # instead of a meters-deep vertical one, and the row
+                    # frame below pushes the foot OUT of the wall.
+                    phi = (p[..., 2] - ground_z) * n_terr[..., 2] - rad
                 mu = self.gnd_mu * jnp.asarray(self.params.plane_friction, phi.dtype)
                 if friction_scale is not None:
                     # (N, nb) per-body scale: gather at each row's body;
@@ -1345,11 +1359,17 @@ class PhysicsEngine:
                     mu_p = jnp.broadcast_to(pmu, pphi.shape) if pmu.ndim == 1 else pmu
                     phi = jnp.concatenate([phi, pphi], 1)
                     mu = jnp.concatenate([mu_g, mu_p], -1)
-                    # ground rows are world-aligned: identity frames
-                    eye_g = jnp.broadcast_to(
-                        jnp.eye(3, dtype=phi.dtype),
-                        (phi.shape[0], n_ground, 3, 3))
+                    # flat-ground rows are world-aligned (identity frames);
+                    # terrain rows carry the heightfield surface normal
+                    if n_terr is None:
+                        eye_g = jnp.broadcast_to(
+                            jnp.eye(3, dtype=phi.dtype),
+                            (phi.shape[0], n_ground, 3, 3))
+                    else:
+                        eye_g = self._tangent_frame(n_terr)
                     frames_all = jnp.concatenate([eye_g, frame], 1)
+            elif self.ground and n_ground and n_terr is not None:
+                frames_all = self._tangent_frame(n_terr)
             if phi is None:
                 # grabs/attractors-only scene (every ground candidate pruned,
                 # no pairs): run the loop with an empty contact-row set
@@ -1579,7 +1599,11 @@ class PhysicsEngine:
                             + frames_rows[..., :, 2] * v3[..., 2, None])
                 p_rows = p_rows + h * v3_w
                 gz = terrain.height_at(p_rows[..., 0], p_rows[..., 1])
-                phi_g = p_rows[..., 2] - rad_rows - gz
+                # vertical gap projected onto the row normal (frames carry
+                # the heightfield surface normal under terrain)
+                nz_rows = (frames_rows[..., 2, 2] if frames_rows is not None
+                           else 1.0)
+                phi_g = (p_rows[..., 2] - gz) * nz_rows - rad_rows
                 phi_rows = jnp.where(is_gnd > 0.5, phi_g, phi_rows)
             active = phi_rows < pr.contact_margin
             b_n = -pr.baumgarte / h * jnp.minimum(

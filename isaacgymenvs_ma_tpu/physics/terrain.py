@@ -174,6 +174,20 @@ class TerrainGrid(NamedTuple):
     horizontal_scale: float
     origin_xy: tuple          # world coords of grid[0, 0]
 
+    def normal_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """Outward surface normal from central differences of the bilinear
+        field, (..., 3).  On steep features (stepping-stone gap walls,
+        stair risers) the normal tilts toward horizontal, giving contacts
+        lateral wall support — PhysX collides the same heightfield as a
+        triangle MESH whose near-vertical wall triangles wedge a foot that
+        clips a gap edge; with straight-up normals the foot plunges
+        unsupported instead (the stones-curriculum gate, VERDICT r4 #4)."""
+        e = 0.5 * self.horizontal_scale
+        hx = (self.height_at(x + e, y) - self.height_at(x - e, y)) / (2 * e)
+        hy = (self.height_at(x, y + e) - self.height_at(x, y - e)) / (2 * e)
+        n = jnp.stack([-hx, -hy, jnp.ones_like(hx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
     def height_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
         hx = (x - self.origin_xy[0]) / self.horizontal_scale
         hy = (y - self.origin_xy[1]) / self.horizontal_scale
@@ -265,6 +279,15 @@ class LocalTerrain(NamedTuple):
         x0, y0, fx, fy = self._frac_coords(x, y)
         return self._sep_lookup(self._soft_one_hot(x0, fx),
                                 self._soft_one_hot(y0, fy))
+
+    def normal_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """Surface normal by central differences (see TerrainGrid.normal_at
+        — lateral wall support on steep features)."""
+        e = 0.5 * self.horizontal_scale
+        hx = (self.height_at(x + e, y) - self.height_at(x - e, y)) / (2 * e)
+        hy = (self.height_at(x, y + e) - self.height_at(x, y - e)) / (2 * e)
+        n = jnp.stack([-hx, -hy, jnp.ones_like(hx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
     def height_min2(self, x, y):
         x0, y0, _, _ = self._frac_coords(x, y)
