@@ -138,6 +138,21 @@ TASK_CFG = deep_merge(ALLEGRO_CFG, {
         "rnaProb": 0.2,
         "rnaRefreshInterval": 600,
         "actionNoise": 0.02,
+        # hand-family training mechanics (the recipe that cracked
+        # ShadowHandOpenAI_FF in round 4) — the reference Dextreme yaml has
+        # them too (AllegroHandDextremeADR.yaml:11 resetTime 8, :60-64
+        # object force perturbations, :93 maxConsecutiveSuccesses 50,
+        # :31-34 action smoothing): without urgency + perturbations the
+        # boundary workers never reach the 5/20 ADR success band
+        "resetTime": 8,
+        "forceScale": 2.0,
+        "forceProbRange": [0.001, 0.1],
+        "forceDecay": 0.99,
+        "forceDecayInterval": 0.08,
+        "maxConsecutiveSuccesses": 50,
+        "actionsMovingAverage": {"range": [0.15, 0.2],
+                                 "schedule_steps": 1000_000,
+                                 "schedule_freq": 500},
     },
     # reference adr section values (AllegroHandDextremeADR.yaml:227-247)
     "adr": {

@@ -32,6 +32,11 @@ DEFAULT = {
     # mesh-SDF tier at the reference-default 128 envs (Factory trains tiny)
     "FactoryTaskNutBoltPick": (128, 50),
     "IndustRealTaskPegsInsert": (128, 50),
+    # production-batch rows (VERDICT r4 weak #6: the "scales with envs"
+    # claim was never measured) — same tasks at 1024/4096 envs
+    "FactoryTaskNutBoltPick@1024": (1024, 50),
+    "FactoryTaskNutBoltPick@4096": (4096, 25),
+    "IndustRealTaskPegsInsert@1024": (1024, 50),
 }
 
 
@@ -40,6 +45,8 @@ def bench_task(name, num_envs, iters):
     from isaacgymenvs_ma_tpu.utils.config import deep_merge
 
     import json, os
+    label = name
+    name = name.split("@")[0]   # "<Task>@<envs>" rows share the task name
     extra = json.loads(os.environ.get("BENCH_CFG", "{}"))
     cfg = deep_merge(deep_merge(registry.task_default_config(name),
                      {"env": {"numEnvs": num_envs}}), extra)
@@ -68,7 +75,7 @@ def bench_task(name, num_envs, iters):
     out = run(state)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:16s} envs={num_envs:6d}  {num_envs/dt/1e6:7.3f}M env-steps/s"
+    print(f"{label:16s} envs={num_envs:6d}  {num_envs/dt/1e6:7.3f}M env-steps/s"
           f"  ({dt*1e6:8.1f} us/step, compile {compile_s:.0f}s)", flush=True)
 
 
