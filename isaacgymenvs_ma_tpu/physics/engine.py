@@ -1304,8 +1304,8 @@ class PhysicsEngine:
                 if terrain is None:
                     ground_z = jnp.zeros(p.shape[:-1], p.dtype)
                 else:
-                    ground_z = terrain.height_at(p[..., 0], p[..., 1])
-                    n_terr = terrain.normal_at(p[..., 0], p[..., 1])
+                    ground_z, n_terr = terrain.height_and_normal(
+                        p[..., 0], p[..., 1])
                 rad = self.gnd_rad
                 if shape_scale is not None:
                     rad = rad * jnp.mean(shape_scale[:, self.gnd_body], axis=-1)

@@ -188,6 +188,9 @@ class TerrainGrid(NamedTuple):
         n = jnp.stack([-hx, -hy, jnp.ones_like(hx)], axis=-1)
         return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
+    def height_and_normal(self, x: jax.Array, y: jax.Array):
+        return self.height_at(x, y), self.normal_at(x, y)
+
     def height_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
         hx = (x - self.origin_xy[0]) / self.horizontal_scale
         hy = (y - self.origin_xy[1]) / self.horizontal_scale
@@ -281,13 +284,30 @@ class LocalTerrain(NamedTuple):
                                 self._soft_one_hot(y0, fy))
 
     def normal_at(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        """Surface normal by central differences (see TerrainGrid.normal_at
-        — lateral wall support on steep features)."""
-        e = 0.5 * self.horizontal_scale
-        hx = (self.height_at(x + e, y) - self.height_at(x - e, y)) / (2 * e)
-        hy = (self.height_at(x, y + e) - self.height_at(x, y - e)) / (2 * e)
+        """Surface normal (see TerrainGrid.normal_at — lateral wall support
+        on steep features)."""
+        return self.height_and_normal(x, y)[1]
+
+    def height_and_normal(self, x: jax.Array, y: jax.Array):
+        """(height, normal) sharing one set of soft-one-hot weights: the
+        bilinear gradient is the same separable contraction with the
+        weight DERIVATIVE ((at1-at0)/scale) on one axis — 2 extra small
+        GEMMs instead of 8 lookup passes."""
+        s = self.horizontal_scale
+        x0, y0, fx, fy = self._frac_coords(x, y)
+        wx = self._soft_one_hot(x0, fx)
+        wy = self._soft_one_hot(y0, fy)
+        dwx = self._soft_one_hot(x0, jnp.ones_like(fx)) \
+            - self._soft_one_hot(x0, jnp.zeros_like(fx))
+        dwy = self._soft_one_hot(y0, jnp.ones_like(fy)) \
+            - self._soft_one_hot(y0, jnp.zeros_like(fy))
+        rows = jnp.einsum("npi,nij->npj", wx, self.patch)
+        drows = jnp.einsum("npi,nij->npj", dwx, self.patch)
+        h = jnp.sum(rows * wy, -1)
+        hx = jnp.sum(drows * wy, -1) / s
+        hy = jnp.sum(rows * dwy, -1) / s
         n = jnp.stack([-hx, -hy, jnp.ones_like(hx)], axis=-1)
-        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
     def height_min2(self, x, y):
         x0, y0, _, _ = self._frac_coords(x, y)
