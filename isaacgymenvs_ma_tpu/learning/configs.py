@@ -262,7 +262,7 @@ _TRAIN["HumanoidSAC"]["params"]["config"].update(
 # cfg/train/FactoryTaskNutBolt*PPO.yaml: small MLP, long horizons, low LR
 for _fname, _hl, _mb in (("FactoryTaskNutBoltPick", 120, 512),
                          ("FactoryTaskNutBoltPlace", 120, 512),
-                         ("FactoryTaskNutBoltScrew", 256, 512)):
+                         ("FactoryTaskNutBoltScrew", 128, 512)):
     _TRAIN[_fname] = _cfg(
         _fname, units=[256, 128, 64], reward_shaper={"scale_value": 1.0},
         max_epochs=1024, horizon_length=_hl, minibatch_size=_mb,
