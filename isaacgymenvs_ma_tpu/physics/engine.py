@@ -84,6 +84,14 @@ class SimParams(NamedTuple):
     # the SDF ridge where the gradient points through the part — the solver
     # then ejects it out the far side).  0.0 = activate on penetration only.
     contact_margin: float = 0.0
+    # Terrain contact frames from the heightfield surface normal (lateral
+    # wall support on steep features).  Default OFF: bilinear interpolation
+    # blurs stair risers into one-cell steep ramps, and tilted normals
+    # there turn the old ramp-assist into constant lateral shoves near
+    # every step edge — a measured terrain-curriculum regression
+    # (runs_r5/anymalterrain.log lvl 2.6@1040 vs r4 ~4.0; stairs 2.2 vs
+    # 4.8).  Kept as an opt-in for stepping-stones experiments.
+    terrain_normal_frames: bool = False
     plane_friction: float = 1.0
     plane_restitution: float = 0.0
     # impacts slower than this along the contact normal don't bounce
@@ -1274,9 +1282,9 @@ class PhysicsEngine:
         kernel_on = kernel_on and not pr.mass_splitting
         # restitution needs the post-J bounce-target lift the kernel lacks
         kernel_on = kernel_on and restitution is None
-        # terrain ground rows now carry surface-normal frames the fused
-        # kernel does not model — terrain scenes stay on the XLA loop
-        kernel_on = kernel_on and terrain is None
+        # terrain-normal frames are not modeled by the fused kernel
+        kernel_on = kernel_on and (terrain is None
+                                   or not pr.terrain_normal_frames)
         use_kernel = (kernel_on and hinv_bl is not None
                       and n_ground + self.n_pair_rows > 0
                       and ck.supports(
@@ -1303,9 +1311,11 @@ class PhysicsEngine:
                 p = self._contact_points(body_x, body_q, shape_scale)
                 if terrain is None:
                     ground_z = jnp.zeros(p.shape[:-1], p.dtype)
-                else:
+                elif pr.terrain_normal_frames:
                     ground_z, n_terr = terrain.height_and_normal(
                         p[..., 0], p[..., 1])
+                else:
+                    ground_z = terrain.height_at(p[..., 0], p[..., 1])
                 rad = self.gnd_rad
                 if shape_scale is not None:
                     rad = rad * jnp.mean(shape_scale[:, self.gnd_body], axis=-1)
