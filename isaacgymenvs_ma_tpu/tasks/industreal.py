@@ -220,6 +220,15 @@ class IndustRealTaskPegsInsert(FactoryBase):
         nut_geom = names.index("nut_geom")
         pairs = [(names.index(pn), nut_geom) for pn in names
                  if pn.startswith("pad_")]
+        # fingers collide with the tabletop (FactoryBase parity — this
+        # override dropped it): without a floor under the hand the policy
+        # dives THROUGH the table, drags the grab-held plug into deep
+        # socket interpenetration, and freezes the SAPU reward at its
+        # pre-violation value forever (runs_r5/industreal.log: reward
+        # 2900 with plugs at z=0)
+        table = names.index("table_top")
+        pairs += [(names.index(pn), table) for pn in names
+                  if pn.startswith("pad_")]
         if "socket_sdf" in names:
             pairs.append((nut_geom, names.index("socket_sdf")))
         else:
@@ -425,9 +434,14 @@ class IndustRealTaskPegsInsert(FactoryBase):
             actions=actions, prev_rew=rew, curr_max_disp=curr_max_disp,
             insert_success=inserted.astype(jnp.float32),
             ep_success_rate=ep_rate)
+        # engagement depth: how far the plug BOTTOM sits below the socket
+        # top (m, >=0); the VERDICT r4 "engagement depth rising" metric
+        eng_depth = jnp.maximum(
+            socket_top[:, 2] - (plug_pos[:, 2] - PLUG_LENGTH / 2), 0.0)
         extras = {"sdf_reward": jnp.mean(rew),
                   "insertion_successes": jnp.mean(
                       inserted.astype(jnp.float32)),
+                  "engagement_depth": jnp.mean(eng_depth),
                   "curr_max_disp": curr_max_disp,
                   "successes": ep_rate}
         return obs, None, rew, reset, task, extras

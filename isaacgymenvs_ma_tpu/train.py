@@ -218,6 +218,8 @@ def launch(argv=None):
                             ("episode/episode/lvl_discrete", "dsc"),
                             ("episode/episode/lvl_stones", "stn"),
                             ("episode/adr_npd", "npd"),
+                            ("episode/engagement_depth", "dep"),
+                            ("episode/curr_max_disp", "disp"),
                             ("episode/episode/fsm_mean", "fsm"),
                             ("sigma", "sig")):
                 if m.get(sk) is not None:
