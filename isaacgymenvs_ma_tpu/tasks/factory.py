@@ -430,11 +430,24 @@ class FactoryBase(VecTaskBase):
 
     def reset_idx(self, sim: SimState, task, mask, key):
         ks = jax.random.split(key, 4)
-        q_ik = self._ik_to_random_gripper_pose(sim, ks[0])
-        q = jnp.where(mask[:, None], q_ik, sim.q)
-        qd = jnp.where(mask[:, None], jnp.zeros_like(sim.qd), sim.qd)
-        sim = SimState(q, qd)
-        sim = self._reset_objects(sim, mask, ks[1])
+
+        # The randomized-gripper IK (12 iterations, each a full FK +
+        # jacobian readout) runs under the masked-reset contract EVERY
+        # step; factory episodes are lockstep (resets only at the horizon
+        # or rare sim-health events), so gate the whole reset behind a
+        # cond — it dominated the factory step otherwise (the "0.029M
+        # regardless of batch size" scaling wall, bench_suite @1024 rows).
+        def do_reset(sim):
+            q_ik = self._ik_to_random_gripper_pose(sim, ks[0])
+            q = jnp.where(mask[:, None], q_ik, sim.q)
+            qd = jnp.where(mask[:, None], jnp.zeros_like(sim.qd), sim.qd)
+            out = self._reset_objects(SimState(q, qd), mask, ks[1])
+            return SimState(out.q, out.qd)   # lam dropped (both branches)
+
+        # both branches drop warm-start lam — the pre-cond code rebuilt
+        # SimState(q, qd) unconditionally and VecTaskBase.step restores it
+        sim = jax.lax.cond(jnp.any(mask), do_reset,
+                           lambda s: SimState(s.q, s.qd), sim)
         if hasattr(task, "lift_success"):
             task = task._replace(lift_success=jnp.where(
                 mask, 0.0, task.lift_success))
