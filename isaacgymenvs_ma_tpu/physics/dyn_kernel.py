@@ -511,3 +511,180 @@ def dyn_cached_pallas(engine, S, qd, rhs, cache, f_grav):
     )(*([jnp.asarray(const_np[k]) for k in const_keys]
         + [_bl(S), _bl(qd), _bl(rhs), io_bl, hinv_bl, _bl(f_grav)]))
     return jnp.transpose(qdd_bl, (1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Fused FK + motion-subspace kernel.
+#
+# engine.fk / engine.dof_motion are Python-unrolled chains of tiny
+# elementwise ops over bodies; XLA cannot fuse across the parent-chain
+# dependencies, so every substep paid ~nb kernel launches + HBM round trips
+# (measured 2.5 ms of a 6.1 ms HumanoidAMP substep at 4096 envs — 40%).
+# Here the whole chain runs in ONE Pallas launch: envs ride the 128-lane
+# minor axis, bodies unroll in registers, and all per-body constants
+# (joint types/axes/anchors/offsets) are baked in as Python statics.
+# Numerics: identical formulas; quat_from_angle_axis skips the redundant
+# final renormalization (unit axis * exact sin/cos).
+
+def _qmul_cf(a, b):
+    """Hamilton product, xyzw, components-first layout (4, B)."""
+    ax, ay, az, aw = a[0], a[1], a[2], a[3]
+    bx, by, bz, bw = b[0], b[1], b[2], b[3]
+    return jnp.stack([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz])
+
+
+def _qapply_cf(q, v):
+    """Rotate (3, B) vectors by (4, B) quats: v + 2*(w*t + xyz x t)/2."""
+    qx, qy, qz, qw = q[0], q[1], q[2], q[3]
+    vx, vy, vz = v[0], v[1], v[2]
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    return jnp.stack([
+        vx + qw * tx + qy * tz - qz * ty,
+        vy + qw * ty + qz * tx - qx * tz,
+        vz + qw * tz + qx * ty - qy * tx])
+
+
+def _cross_cf(a, b):
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0]])
+
+
+def _fk_motion_bl(engine, plan, qv):
+    """FK + S on batch-last (nq, B) coords -> ((nb,3,B), (nb,4,B),
+    (nv,6,B)).  Shared by the Pallas kernel and interpret-mode tests."""
+    import isaacgymenvs_ma_tpu.models.model as md_
+
+    B = qv.shape[-1]
+    dt = qv.dtype
+    # build per-body constant vectors from SCALAR constants (pallas kernels
+    # may not capture constant ARRAYS; scalar broadcasts are fine)
+    cst = lambda v: jnp.stack(
+        [jnp.full((B,), float(x), dt) for x in np.asarray(v, np.float32)])
+    xs, qs = [], []
+    cols = []
+    zero3 = jnp.zeros((3, B), dt)
+    for b in range(plan.nb):
+        t = int(engine.jnt_type_np[b])
+        qa = int(engine.q_adr[b])
+        if engine.parent[b] == -1:
+            xp = zero3
+            qp = cst([0.0, 0, 0, 1.0])
+        else:
+            xp, qp = xs[int(engine.parent[b])], qs[int(engine.parent[b])]
+        m_ = engine.model
+        bp = np.asarray(m_.body_pos[b], np.float32)
+        bq = np.asarray(m_.body_quat[b], np.float32)
+        axis = np.asarray(m_.jnt_axis[b], np.float32)
+        nrm = np.linalg.norm(axis)
+        axis_n = axis / nrm if nrm > 0 else axis
+        anchor = np.asarray(m_.jnt_pos[b], np.float32)
+        if t == md_.FREE:
+            xb = qv[qa: qa + 3]
+            qb = qv[qa + 3: qa + 7]
+        elif t in (md_.HINGE, md_.SCREW):
+            half = 0.5 * qv[qa]
+            s, c = jnp.sin(half), jnp.cos(half)
+            qj = jnp.stack([axis_n[0] * s, axis_n[1] * s, axis_n[2] * s, c])
+            ql = _qmul_cf(cst(bq), qj)
+            tl = cst(bp + _np_qapply(bq, anchor)) - _qapply_cf(ql, cst(anchor))
+            if t == md_.SCREW:
+                pitch = float(engine.jnt_pitch_np[b]) / (2.0 * np.pi)
+                aw_b = _np_qapply(bq, axis_n)
+                tl = tl + cst(aw_b) * (pitch * qv[qa])[None]
+            xb = xp + _qapply_cf(qp, tl)
+            qb = _qmul_cf(qp, ql)
+        elif t == md_.SLIDE:
+            aw_b = _np_qapply(bq, axis_n)
+            tl = cst(bp) + cst(aw_b) * qv[qa][None]
+            xb = xp + _qapply_cf(qp, tl)
+            qb = _qmul_cf(qp, cst(bq))
+        else:  # FIXED
+            xb = xp + _qapply_cf(qp, cst(bp))
+            qb = _qmul_cf(qp, cst(bq))
+        xs.append(xb)
+        qs.append(qb)
+        # motion-subspace columns (about the world origin, [ang; lin])
+        if t == md_.FREE:
+            e = np.eye(3, dtype=np.float32)
+            for i in range(3):
+                cols.append(jnp.concatenate([zero3, cst(e[i])]))
+            for i in range(3):
+                ei = cst(e[i])
+                cols.append(jnp.concatenate([ei, _cross_cf(xb, ei)]))
+        elif t in (md_.HINGE, md_.SCREW, md_.SLIDE):
+            a_w = _qapply_cf(qb, cst(axis_n))
+            if t == md_.SLIDE:
+                cols.append(jnp.concatenate([zero3, a_w]))
+            else:
+                anch_w = xb + _qapply_cf(qb, cst(anchor))
+                lin = _cross_cf(anch_w, a_w)
+                if t == md_.SCREW:
+                    pitch = float(engine.jnt_pitch_np[b]) / (2.0 * np.pi)
+                    lin = lin + pitch * a_w
+                cols.append(jnp.concatenate([a_w, lin]))
+    bx = jnp.stack(xs)                        # (nb, 3, B)
+    bq_ = jnp.stack(qs)                       # (nb, 4, B)
+    S = jnp.stack(cols).reshape(len(cols), 2, 3, B).reshape(len(cols), 6, B)
+    return bx, bq_, S
+
+
+def _np_qapply(q, v):
+    """numpy xyzw quat rotate (build-time constants)."""
+    q = np.asarray(q, np.float32)
+    v = np.asarray(v, np.float32)
+    t = 2.0 * np.cross(q[:3], v)
+    return v + q[3] * t + np.cross(q[:3], t)
+
+
+def fk_supports(engine, N, dtype) -> bool:
+    if dtype != jnp.float32:
+        return False
+    if jax.default_backend() != "tpu" and not _FORCE_INTERPRET:
+        return False
+    plan = get_plan(engine)
+    per_lane = engine.nq + plan.nb * 7 + plan.nv * 6 + 64
+    return _pick_block(N, per_lane) is not None
+
+
+def fk_motion_pallas(engine, q):
+    """(body_x (N,nb,3), body_q (N,nb,4), S (N,nv,6)) in one launch."""
+    from jax.experimental import pallas as pl
+
+    plan = get_plan(engine)
+    N = q.shape[0]
+    nb, nv = plan.nb, plan.nv
+    nq = q.shape[-1]
+    per_lane = nq + nb * 7 + nv * 6 + 64
+    block = _pick_block(N, per_lane)
+
+    def kernel(q_ref, bx_ref, bq_ref, s_ref):
+        bx, bq_, S = _fk_motion_bl(engine, plan, q_ref[...])
+        bx_ref[...] = bx
+        bq_ref[...] = bq_
+        s_ref[...] = S
+
+    lane = lambda *lead: pl.BlockSpec(
+        lead + (block,), lambda i: (0,) * len(lead) + (i,))
+    bx_bl, bq_bl, s_bl = pl.pallas_call(
+        kernel,
+        grid=(N // block,),
+        in_specs=[lane(nq)],
+        out_specs=[lane(nb, 3), lane(nb, 4), lane(nv, 6)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 3, N), q.dtype),
+            jax.ShapeDtypeStruct((nb, 4, N), q.dtype),
+            jax.ShapeDtypeStruct((nv, 6, N), q.dtype),
+        ],
+        interpret=_FORCE_INTERPRET,
+    )(_bl(q))
+    return (jnp.transpose(bx_bl, (2, 0, 1)),
+            jnp.transpose(bq_bl, (2, 0, 1)),
+            jnp.transpose(s_bl, (2, 0, 1)))

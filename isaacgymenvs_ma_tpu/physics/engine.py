@@ -793,14 +793,22 @@ class PhysicsEngine:
         N = q.shape[0]
         f32 = q.dtype
 
-        body_x, body_q = self.fk(q)
-        S = self.dof_motion(body_x, body_q)
+        # fused FK + motion-subspace kernel (TPU): the Python-unrolled body
+        # chain cannot fuse across parent dependencies in XLA and paid ~nb
+        # kernel launches per substep (~40% of the HumanoidAMP substep);
+        # one Pallas launch computes both (machine-eps parity, see
+        # tests/test_dyn_kernel.py::test_fk_motion_kernel_parity)
+        from . import dyn_kernel as dk
+        if dk.fk_supports(self, N, f32):
+            body_x, body_q, S = dk.fk_motion_pallas(self, q)
+        else:
+            body_x, body_q = self.fk(q)
+            S = self.dof_motion(body_x, body_q)
         shape_scale = None if phys is None else getattr(phys, "shape", None)
 
         # batch-lane fused dynamics chain (TPU): envs ride the 128-lane minor
         # dim, tiny body/dof axes unroll — see dyn_kernel.py.  The fallback
         # XLA path below stays bitwise-identical to the pre-kernel build.
-        from . import dyn_kernel as dk
         use_kernel = dk.supports(self, N, f32)
         # each path only understands its own cache format (kernel caches are
         # ("bl", ...)-tagged); a mismatched cache is recomputed, not misread

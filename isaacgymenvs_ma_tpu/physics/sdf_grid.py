@@ -73,18 +73,20 @@ def sample_with_normal(grid: SDFGrid, pts: jax.Array):
     f = uc - i0.astype(uc.dtype)                      # (..., 3) in [0, 1]
 
     ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
-    # gather the 8 cell corners (flat gather lowers well on TPU)
-    dy, dz = vals.shape[1], vals.shape[2]
-    flat = vals.reshape(-1)
-    base = (ix * dy + iy) * dz + iz
-
-    def g(ox, oy, oz):
-        return flat[base + (ox * dy + oy) * dz + oz]
-
-    c000, c001 = g(0, 0, 0), g(0, 0, 1)
-    c010, c011 = g(0, 1, 0), g(0, 1, 1)
-    c100, c101 = g(1, 0, 0), g(1, 0, 1)
-    c110, c111 = g(1, 1, 0), g(1, 1, 1)
+    # Packed-corner gather: all 8 cell corners contiguous in the minor dim,
+    # so each query is ONE 8-wide vectorized gather instead of 8 scattered
+    # scalar gathers (TPU gathers are latency-bound; the scattered form was
+    # ~60% of the factory-tier step).  grid.values is a compile-time
+    # constant, so XLA constant-folds the pack once per compilation.
+    dx, dy, dz = vals.shape
+    pack = jnp.stack(
+        [vals[ox: dx - 1 + ox, oy: dy - 1 + oy, oz: dz - 1 + oz]
+         for ox in (0, 1) for oy in (0, 1) for oz in (0, 1)],
+        axis=-1).reshape(-1, 8)
+    cell = (ix * (dy - 1) + iy) * (dz - 1) + iz
+    c8 = pack[cell]                                   # (..., 8)
+    (c000, c001, c010, c011,
+     c100, c101, c110, c111) = [c8[..., k] for k in range(8)]
 
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     c00 = c000 * (1 - fz) + c001 * fz

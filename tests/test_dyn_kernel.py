@@ -192,3 +192,33 @@ def test_plan_not_shared_across_engines():
     t2, p2 = build("BallBalance")
     assert p2.nv == t2.engine.nv != nv1
     assert dk.get_plan(t2.engine) is p2          # stable per engine
+
+
+def test_fk_motion_kernel_parity():
+    """Fused FK + motion-subspace kernel matches engine.fk/dof_motion to
+    machine epsilon across joint types (FREE/HINGE/SLIDE/FIXED/SCREW)."""
+    import jax
+    import jax.numpy as jnp
+    from isaacgymenvs_ma_tpu.physics import dyn_kernel as dk
+    from isaacgymenvs_ma_tpu.tasks import registry
+    from isaacgymenvs_ma_tpu.utils.config import load_task_config
+
+    old = dk._FORCE_INTERPRET
+    dk._FORCE_INTERPRET = True
+    try:
+        for name in ("Ant", "FactoryTaskNutBoltScrew"):
+            cfg = load_task_config(name, [])
+            cfg["env"]["numEnvs"] = 128
+            t = registry.create_task(name, cfg, seed=0)
+            es = t.initial_state(jax.random.PRNGKey(0))
+            es, _ = t.reset(es)
+            q = es.sim.q + 0.01 * jax.random.normal(
+                jax.random.PRNGKey(1), es.sim.q.shape)
+            bx0, bq0 = t.engine.fk(q)
+            S0 = t.engine.dof_motion(bx0, bq0)
+            bx1, bq1, S1 = dk.fk_motion_pallas(t.engine, q)
+            assert float(jnp.abs(bx1 - bx0).max()) < 1e-5
+            assert float(jnp.abs(bq1 - bq0).max()) < 1e-5
+            assert float(jnp.abs(S1 - S0).max()) < 1e-5
+    finally:
+        dk._FORCE_INTERPRET = old
